@@ -1,0 +1,529 @@
+"""CrawlEngine: the BSP round loop over the frontier.
+
+The reference's continuous event loop (``start()``/``crawl()`` tick,
+src/crawler.ts:646-674, 1273-1360) becomes bulk-synchronous rounds
+(SURVEY §2.9): each round dequeues a politeness-budgeted wave from the
+queued frontier, fetches+parses it with a ``map_batches`` actor pool,
+runs the candidate pipeline (canonicalize -> domain/robots/depth/
+condition filters -> global dedup via sharded seen-set actors), stamps
+``seq``, and unions the survivors into the frontier.  Under one host +
+unlimited budget the wave order reproduces the reference's FIFO crawl
+order (seq == QueueItem.id insertion order, src/queue.ts:113).
+
+Scale design notes (100 TB / 10^10-URL target):
+* fetch+parse co-located: bodies never cross stage boundaries;
+* dedup state: hash-sharded actors (state/seen.py), NOT a driver set;
+* frontier waves stream through Ray Data; the driver holds only
+  queued-row tables (no payloads) and per-round object refs of fetched
+  blocks — payloads live in the object store / parquet checkpoints;
+* per-round checkpoint: parquet frontier + metrics/lineage JSON
+  (replaces freeze/defrost, src/queue.ts:268-313), resumable.
+
+Event callbacks (§2.10) are replaced by metric counters + a per-row
+``disposition`` column; user fetch/download conditions are plain
+callables evaluated inside the stages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..robots import RobotsRules, host_key, robots_txt_url
+from ..schemas import (
+    FRONTIER_SCHEMA,
+    STATUS_DISALLOWED,
+    STATUS_QUEUED,
+)
+from ..sources.web import url_hash64
+from ..stages.candidates import (
+    CANDIDATE_SCHEMA,
+    CandidateProcessor,
+    candidate_table,
+    candidate_udf,
+    candidates_to_frontier_rows,
+    explode_discovered,
+)
+from ..stages.fetch import Fetcher, fetcher_udf
+from ..state.seen import SeenSet
+from ..urlnorm import CanonOpts, Uri, process_url
+
+PAYLOAD_COLS = ["body", "caption", "image_id", "disposition", "error_flags", "location",
+                "discovered", "mime_supported"]
+
+# canonical column order for stored fetched tables ("discovered" is
+# transient — consumed by the candidate stage, not stored)
+_FETCHED_ORDER = [f.name for f in FRONTIER_SCHEMA] + [
+    "body", "caption", "image_id", "disposition", "error_flags", "location", "mime_supported"
+]
+
+
+def _normalize_fetched(t: pa.Table) -> pa.Table:
+    cols = [c for c in _FETCHED_ORDER if c in t.column_names]
+    return t.select(cols)
+
+DEFAULT_CONFIG = dict(
+    max_depth=0,
+    interval_ms=250,
+    max_concurrency=5,
+    host_budget_per_round=0,   # 0 = whole wave (conformance); >0 = politeness cap
+    respect_robots_txt=True,
+    allow_initial_domain_change=False,
+    filter_by_domain=True,
+    ignore_www_domain=True,
+    scan_subdomains=False,
+    domain_whitelist=None,
+    strip_querystring=False,
+    sort_query_parameters=False,
+    strip_www_domain=False,
+    parse_html_comments=True,
+    parse_script_tags=True,
+    download_unsupported=True,
+    max_resource_size=16 * 1024 * 1024,
+    supported_mime_types=None,
+    accept_cookies=True,
+    discover=True,
+    store_body=True,
+    fetch_conditions=None,
+    download_conditions=None,
+    seen_backend="exact",
+    seen_shards=4,
+    seen_capacity_per_shard=1 << 20,
+    batch_size=256,
+    fetcher_concurrency=4,
+    checkpoint_dir=None,
+)
+
+
+class CrawlEngine:
+    def __init__(self, web, initial_url: str, cache_index: Optional[dict] = None,
+                 fetch_complete_hook: Optional[Callable[[dict], "list[str]|None"]] = None,
+                 **options):
+        unknown = set(options) - set(DEFAULT_CONFIG)
+        if unknown:
+            raise TypeError(f"unknown options: {unknown}")
+        self.cfg = {**DEFAULT_CONFIG, **options}
+        self.web = web
+        self.initial_url = initial_url
+        seed = process_url(initial_url)
+        if seed is None:
+            raise ValueError(f"cannot parse initial URL {initial_url!r}")
+        self.cfg["host"] = seed.host
+        self.seed_row = seed
+        self.cache_index = cache_index if cache_index is not None else {}
+        self.fetch_complete_hook = fetch_complete_hook
+
+        self.seen = SeenSet(
+            num_shards=self.cfg["seen_shards"],
+            backend=self.cfg["seen_backend"],
+            capacity_per_shard=self.cfg["seen_capacity_per_shard"],
+        )
+        self.robots_cache: dict[str, RobotsRules] = {}
+        self.robots_errors: list[str] = []
+        self.metrics: dict[str, int] = {}
+        self.fetch_order: list[str] = []
+        self.next_seq = 0
+        self.round_no = 0
+        self.first_request = True
+        self.queued: pa.Table = FRONTIER_SCHEMA.empty_table()
+        self.terminal_refs: list = []      # ObjectRefs of fetched arrow tables
+        self._manual: list[dict] = []      # manually enqueued candidates
+        self._web_ref = None
+
+    # ------------------------------------------------------------- helpers
+
+    def _count(self, key: str, n: int = 1) -> None:
+        if n:
+            self.metrics[key] = self.metrics.get(key, 0) + n
+
+    def enqueue(self, url: str, referrer_url: str = "", referrer_depth: int = 0,
+                force: bool = False) -> None:
+        """Manual queueURL (src/crawler.ts:1483-1538): processed through the
+        same canonicalize/filter/dedup pipeline next round."""
+        self._manual.append(dict(candidate=url, referrer_url=referrer_url,
+                                 referrer_depth=referrer_depth, forced=force))
+
+    def _seed(self) -> None:
+        # start() adds the seed directly — no domain/robots/condition gate
+        # (src/crawler.ts:646-674)
+        cands = candidate_table([dict(candidate=self.initial_url, referrer_url="",
+                                      referrer_depth=0, parent_seq=-2, pos=0)])
+        proc = CandidateProcessor(
+            {**self.cfg, "fetch_conditions": None, "filter_by_domain": False,
+             "respect_robots_txt": False}, {})
+        self._admit_candidates(proc(cands))
+
+    def _admit_candidates(self, cands: pa.Table) -> pa.Table:
+        """Filter counters -> dedup (first-wins in (parent_seq,pos) order)
+        -> seq-stamp -> append queued rows.  Returns admitted rows."""
+        if cands.num_rows == 0:
+            return FRONTIER_SCHEMA.empty_table()
+        # deterministic FIFO order
+        order = pc.sort_indices(
+            cands, sort_keys=[("parent_seq", "ascending"), ("pos", "ascending")]
+        )
+        cands = cands.take(order)
+        reasons = cands.column("reject_reason").to_pylist()
+        for r in reasons:
+            if r:
+                self._count(r)
+        keep = pc.equal(cands.column("reject_reason"), "")
+        cands = cands.filter(keep)
+        if cands.num_rows == 0:
+            return FRONTIER_SCHEMA.empty_table()
+        hashes = np.asarray(cands.column("url_hash").to_numpy(zero_copy_only=False), dtype=np.uint64)
+        forced = np.asarray(cands.column("forced").to_numpy(zero_copy_only=False), dtype=bool)
+        new_mask = self.seen.check_and_add(hashes)
+        admit = new_mask | forced
+        dup_count = int((~new_mask & ~forced).sum())
+        self._count("queueduplicate", dup_count)
+        admitted = cands.filter(pa.array(admit))
+        n = admitted.num_rows
+        if n == 0:
+            return FRONTIER_SCHEMA.empty_table()
+        seqs = list(range(self.next_seq, self.next_seq + n))
+        self.next_seq += n
+        self._count("queueadd", n)
+        rows = candidates_to_frontier_rows(admitted, seqs, self.round_no)
+        self.queued = pa.concat_tables([self.queued, rows]) if self.queued.num_rows else rows
+        return rows
+
+    def _fetch_robots(self, hosts: set[str]) -> pa.Table | None:
+        """Fetch+parse robots.txt for new hosts (driver-side: one tiny GET
+        per host per crawl; hosts << URLs).  Returns sitemap candidates."""
+        sitemap_cands = []
+        for hk in sorted(hosts):
+            if hk in self.robots_cache:
+                continue
+            host, _, port = hk.partition(":")
+            portpart = f":{port}" if port else ""
+            rurl = f"http://{host}{portpart}/robots.txt"
+            resp = self.web.get(rurl)
+            hops = 0
+            while resp is not None and resp.code in range(300, 400) and resp.headers.get("Location") and hops < 5:
+                loc = resp.headers["Location"]
+                target = process_url(loc, rurl)
+                if target is None or host_key(target.url) != hk:
+                    self.robots_errors.append(
+                        f"Robots.txt for {hk} redirected to a disallowed domain: {loc}"
+                    )
+                    self._count("robotstxterror")
+                    resp = None
+                    break
+                rurl = target.url
+                resp = self.web.get(rurl)
+                hops += 1
+            if resp is None or resp.code != 200:
+                # no rules recorded: urlIsAllowed finds nothing -> allow
+                self.robots_cache[hk] = RobotsRules(url=rurl)
+                continue
+            try:
+                text = resp.body.decode("utf-8", errors="replace")
+                rules = RobotsRules.parse(rurl, text)
+            except Exception:
+                rules = RobotsRules.error_rules(rurl)
+                self._count("robotstxterror")
+            self.robots_cache[hk] = rules
+            for sm in rules.sitemaps:
+                sitemap_cands.append(dict(candidate=sm, referrer_url=rurl,
+                                          referrer_depth=0, parent_seq=-1, pos=0))
+        return candidate_table(sitemap_cands) if sitemap_cands else None
+
+    def _dequeue_wave(self) -> pa.Table:
+        """Politeness dequeue (O1): per-host budget of the oldest queued
+        rows by seq; budget 0 => whole frontier wave."""
+        q = self.queued
+        budget = self.cfg["host_budget_per_round"]
+        if q.num_rows == 0:
+            return q
+        order = pc.sort_indices(q, sort_keys=[("seq", "ascending")])
+        q = q.take(order)
+        if not budget:
+            self.queued = FRONTIER_SCHEMA.empty_table()
+            return q
+        df = q.select(["host"]).to_pandas()
+        rank = df.groupby("host").cumcount()
+        take = pa.array((rank < budget).to_numpy())
+        wave = q.filter(take)
+        self.queued = q.filter(pc.invert(take))
+        return wave
+
+    # ------------------------------------------------------------- rounds
+
+    def _run_round(self) -> bool:
+        """One BSP round. Returns True if any work was done."""
+        # manual enqueues (fetch_complete_hook / enqueue API)
+        if self._manual:
+            cands = candidate_table(self._manual)
+            self._manual = []
+            proc = CandidateProcessor(self.cfg, self.robots_cache)
+            self._admit_candidates(proc(cands))
+
+        wave = self._dequeue_wave()
+        if wave.num_rows == 0:
+            return False
+
+        # robots for hosts new this round (crawler.ts:1296-1335)
+        if self.cfg["respect_robots_txt"]:
+            hosts = {host_key(u) for u in wave.column("url").to_pylist()}
+            sitemaps = self._fetch_robots(hosts)
+            if sitemaps is not None:
+                proc = CandidateProcessor(self.cfg, self.robots_cache)
+                self._admit_candidates(proc(sitemaps))
+            # re-check wave rows against fresh rules
+            allowed_mask = []
+            for u in wave.column("url").to_pylist():
+                rules = self.robots_cache.get(host_key(u))
+                allowed_mask.append(rules.is_allowed(u) if rules else True)
+            allowed = pa.array(allowed_mask)
+            disallowed = wave.filter(pc.invert(allowed))
+            if disallowed.num_rows:
+                self._count("fetchdisallowed", disallowed.num_rows)
+                dis = disallowed.set_column(
+                    disallowed.schema.get_field_index("status"),
+                    "status", pa.array([STATUS_DISALLOWED] * disallowed.num_rows))
+                dis = dis.set_column(
+                    dis.schema.get_field_index("fetched"),
+                    "fetched", pa.array([True] * disallowed.num_rows))
+                for name, typ in zip(
+                    PAYLOAD_COLS,
+                    [pa.binary(), pa.string(), pa.string(), pa.string(), pa.string(),
+                     pa.string(), pa.list_(pa.string()), pa.bool_()],
+                ):
+                    dis = dis.append_column(name, pa.nulls(dis.num_rows, typ))
+                self.terminal_refs.append(ray.put(_normalize_fetched(dis)))
+                wave = wave.filter(allowed)
+            if wave.num_rows == 0:
+                return True
+
+        self.fetch_order.extend(wave.column("url").to_pylist())
+        self._count("fetchstart", wave.num_rows)
+
+        # ---- distributed fetch+parse ----
+        if self._web_ref is None:
+            self._web_ref = ray.put(self.web)
+        cfg_ref = ray.put(self.cfg)
+        cache_ref = ray.put(dict(self.cache_index))
+        bs = self.cfg["batch_size"]
+        # split the wave into blocks so the task pool actually parallelizes
+        chunks = [wave.slice(off, bs) for off in range(0, wave.num_rows, bs)] or [wave]
+        wave_ds = rd.from_arrow(chunks)
+        # task-based UDF + worker-local state cache: per-worker init cost is
+        # paid once per crawl, not once per round (see stages/fetch.py)
+        fetched_ds = wave_ds.map_batches(
+            fetcher_udf,
+            fn_kwargs=dict(web_ref=self._web_ref, cfg_ref=cfg_ref, cache_ref=cache_ref),
+            batch_format="pyarrow",
+            batch_size=bs,
+            zero_copy_batch=True,
+        ).materialize()
+        fetched_tables = [ray.get(ref) for ref in fetched_ds.to_arrow_refs()]
+        fetched_tables = [t for t in fetched_tables if t.num_rows]
+        if not fetched_tables:
+            return True
+        fetched_raw = pa.concat_tables(fetched_tables, promote_options="default")
+        fetched = _normalize_fetched(fetched_raw)  # "discovered" stays transient
+
+        # store terminal rows (payloads live in the object store, not driver)
+        self.terminal_refs.append(ray.put(fetched))
+
+        # ---- metrics from dispositions ----
+        disp_counts = pc.value_counts(fetched.column("disposition"))
+        for entry in disp_counts.to_pylist():
+            if entry["values"]:
+                self._count(entry["values"], entry["counts"])
+        for flags in fetched.column("error_flags").to_pylist():
+            for flag in (flags or "").split(","):
+                if flag:
+                    self._count(flag)
+        ds_count = int(
+            pc.sum(
+                pc.and_(fetched.column("mime_supported"),
+                        pc.equal(fetched.column("status"), "downloaded"))
+            ).as_py() or 0
+        )
+        if self.cfg["discover"]:
+            self._count("discoverycomplete", ds_count)
+
+        # ---- cache index update (etag / last-modified) ----
+        for u, hj, code in zip(fetched.column("url").to_pylist(),
+                               fetched.column("state_headers").to_pylist(),
+                               fetched.column("state_code").to_pylist()):
+            if hj and 200 <= code < 300:
+                h = json.loads(hj)
+                etag, lastmod = h.get("etag"), h.get("last-modified")
+                if etag or lastmod:
+                    self.cache_index[u] = (etag, lastmod)
+
+        # ---- redirect candidates (depth pinning + initial domain change) ----
+        redirect_cands = []
+        sorted_fetched = fetched.take(pc.sort_indices(fetched, sort_keys=[("seq", "ascending")]))
+        for seq, url, depth, disp, loc in zip(
+            sorted_fetched.column("seq").to_pylist(),
+            sorted_fetched.column("url").to_pylist(),
+            sorted_fetched.column("depth").to_pylist(),
+            sorted_fetched.column("disposition").to_pylist(),
+            sorted_fetched.column("location").to_pylist(),
+        ):
+            if disp == "fetchredirect" and loc:
+                target = process_url(loc, url, depth, CanonOpts(
+                    strip_querystring=self.cfg["strip_querystring"],
+                    sort_query_parameters=self.cfg["sort_query_parameters"],
+                    strip_www_domain=self.cfg["strip_www_domain"]))
+                override = 1 if self.first_request else -1
+                if target is not None and self.first_request and self.cfg["allow_initial_domain_change"]:
+                    self.cfg["host"] = target.host
+                redirect_cands.append(dict(candidate=loc, referrer_url=url,
+                                           referrer_depth=depth, parent_seq=seq,
+                                           pos=0, depth_override=override))
+            elif disp not in ("fetchredirect",):
+                self.first_request = False
+
+        # ---- fetch-complete hook (manual discovery, §2.10) ----
+        if self.fetch_complete_hook is not None:
+            for row in sorted_fetched.to_pylist():
+                if row["status"] == "downloaded":
+                    extra = self.fetch_complete_hook(row) or []
+                    for u in extra:
+                        self._manual.append(dict(candidate=u, referrer_url=row["url"],
+                                                 referrer_depth=row["depth"],
+                                                 parent_seq=row["seq"], pos=0))
+
+        # ---- discovered candidates (explode + canonicalize) ----
+        max_depth = self.cfg["max_depth"]
+        if fetched.num_rows <= 5000:
+            # small wave: driver-side (per-round Dataset planning overhead
+            # dominates actual work at this size); distributed path below is
+            # byte-identical — same UDFs
+            proc = CandidateProcessor(self.cfg, self.robots_cache)
+            raw = explode_discovered(fetched_raw, max_depth)
+            cand_tables = [proc(raw)] if raw.num_rows else []
+        else:
+            cfg_ref2 = ray.put(self.cfg)
+            robots_ref = ray.put(self.robots_cache)
+            cand_ds = fetched_ds.map_batches(
+                lambda b: explode_discovered(b, max_depth),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).map_batches(
+                candidate_udf,
+                fn_kwargs=dict(cfg_ref=cfg_ref2, robots_ref=robots_ref),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            cand_tables = [ray.get(r) for r in cand_ds.to_arrow_refs()]
+            cand_tables = [t for t in cand_tables if t.num_rows]
+        if redirect_cands:
+            proc = CandidateProcessor(self.cfg, self.robots_cache)
+            cand_tables.append(proc(candidate_table(redirect_cands)))
+        if cand_tables:
+            all_cands = pa.concat_tables(cand_tables, promote_options="default")
+            self._admit_candidates(all_cands)
+
+        self._checkpoint(fetched)
+        return True
+
+    # ------------------------------------------------------------- public
+
+    def run(self, max_rounds: int = 1000) -> "CrawlResult":
+        self._count("crawlstart")
+        self._seed()
+        while self.round_no < max_rounds:
+            progressed = self._run_round()
+            self.round_no += 1
+            if not progressed and not self._manual:
+                break
+        self._count("complete")
+        return CrawlResult(self)
+
+    def _checkpoint(self, fetched: pa.Table) -> None:
+        ckpt = self.cfg["checkpoint_dir"]
+        if not ckpt:
+            return
+        rdir = os.path.join(ckpt, f"round={self.round_no:05d}")
+        tmp = rdir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            fetched.drop_columns([c for c in ("discovered",) if c in fetched.column_names]),
+            os.path.join(tmp, "fetched.parquet"))
+        pq.write_table(self.queued, os.path.join(tmp, "queued.parquet"))
+        with open(os.path.join(tmp, "metrics.json"), "w") as f:
+            json.dump({"round": self.round_no, "next_seq": self.next_seq,
+                       "first_request": self.first_request,
+                       "metrics": self.metrics,
+                       "host": self.cfg["host"]}, f)
+        os.replace(tmp, rdir)  # atomic publish: resumable (ray_guide layout)
+
+    @classmethod
+    def resume(cls, web, initial_url: str, checkpoint_dir: str, **options) -> "CrawlEngine":
+        """Defrost (S4): rebuild frontier + replay seen-set from the last
+        completed round checkpoint."""
+        eng = cls(web, initial_url, checkpoint_dir=checkpoint_dir, **options)
+        rounds = sorted(d for d in os.listdir(checkpoint_dir) if d.startswith("round="))
+        if not rounds:
+            return eng
+        last = os.path.join(checkpoint_dir, rounds[-1])
+        meta = json.load(open(os.path.join(last, "metrics.json")))
+        eng.round_no = meta["round"] + 1
+        eng.next_seq = meta["next_seq"]
+        eng.first_request = meta["first_request"]
+        eng.metrics = meta["metrics"]
+        eng.cfg["host"] = meta["host"]
+        eng.queued = pq.read_table(os.path.join(last, "queued.parquet"))
+        # replay seen from every checkpointed round (fetched + queued)
+        hashes = [eng.queued.column("url_hash").to_numpy(zero_copy_only=False)]
+        for rdir in rounds:
+            t = pq.read_table(os.path.join(checkpoint_dir, rdir, "fetched.parquet"),
+                              columns=["url_hash"])
+            hashes.append(t.column("url_hash").to_numpy(zero_copy_only=False))
+            ft = pq.read_table(os.path.join(checkpoint_dir, rdir, "fetched.parquet"))
+            eng.terminal_refs.append(ray.put(ft))
+        eng.seen.add(np.concatenate(hashes).astype(np.uint64))
+        return eng
+
+
+class CrawlResult:
+    def __init__(self, engine: CrawlEngine):
+        self.engine = engine
+        self.metrics = engine.metrics
+        self.fetch_order = engine.fetch_order
+        self.robots_errors = engine.robots_errors
+
+    def fetched_dataset(self) -> rd.Dataset:
+        if not self.engine.terminal_refs:
+            return rd.from_arrow(FRONTIER_SCHEMA.empty_table())
+        return rd.from_arrow_refs(list(self.engine.terminal_refs))
+
+    def fetched_table(self) -> pa.Table:
+        refs = self.engine.terminal_refs
+        if not refs:
+            return FRONTIER_SCHEMA.empty_table()
+        tables = [ray.get(r) for r in refs]
+        tables = [t.drop_columns([c for c in ("discovered",) if c in t.column_names]) for t in tables]
+        t = pa.concat_tables(tables, promote_options="default")
+        return t.take(pc.sort_indices(t, sort_keys=[("seq", "ascending")]))
+
+    def frontier_table(self) -> pa.Table:
+        """Full queue state: terminal + still-queued rows, seq order."""
+        term = self.fetched_table()
+        cols = [c for c in term.column_names if c in FRONTIER_SCHEMA.names]
+        term = term.select(cols)
+        q = self.engine.queued.select(cols) if self.engine.queued.num_rows else None
+        t = pa.concat_tables([term, q]) if q is not None else term
+        return t.take(pc.sort_indices(t, sort_keys=[("seq", "ascending")]))
+
+    def downloaded_urls(self) -> list[str]:
+        t = self.fetched_table()
+        mask = pc.equal(t.column("status"), "downloaded")
+        return t.filter(mask).column("url").to_pylist()
+
+    def shutdown(self):
+        self.engine.seen.shutdown()

@@ -1,0 +1,295 @@
+"""Distributed URL-seen set: the global exact-dedup of the frontier.
+
+Replaces the reference's in-process ``_scanIndex: Set<string>``
+(src/queue.ts:91,110-143) — O(heap) on one machine, infeasible at the
+10^10-URL target.  Here: a pool of ``SeenShard`` Ray actors, shard
+selected by ``url_hash % num_shards``; each shard offers vectorized
+``check_and_add(hashes) -> new_mask`` (first caller wins => the D1
+"first add wins / duplicate rejected" semantics, src/queue.ts:110-135).
+
+Backends per shard:
+* ``exact``  — Python set of int64 hashes.  Exact (modulo 64-bit hash
+  collisions), ~32 B/key.  Default for conformance tests.
+* ``cuckoo`` — numpy cuckoo filter, 16-bit fingerprints, 4-slot
+  buckets: ~2.3 B/key at 95% load.  At 10^10 URLs: ~23 GB cluster-wide
+  across shards (vs ~1 TB for exact) — the north-rule scale backend.
+  No false negatives; false-positive rate ~=  2^-13 (a tiny fraction of
+  genuinely-new URLs silently dropped as "seen" — acceptable for crawl
+  frontiers, documented divergence from the reference's exact set).
+* ``bloom``  — numpy bit-array Bloom filter, k hashes (fallback; same
+  approximation direction as cuckoo but no deletion support).
+
+Capacity sizing is per shard.  All check/insert paths are vectorized
+numpy except cuckoo-insert eviction loops (rare at <90% load).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+_U64 = np.uint64
+
+
+def _mix(h: np.ndarray, salt: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        z = (h.astype(_U64) + _U64(salt)) * _U64(0x9E3779B97F4A7C15)
+        z ^= z >> _U64(29)
+        z *= _U64(0xBF58476D1CE4E5B9)
+        z ^= z >> _U64(32)
+    return z
+
+
+class ExactBackend:
+    def __init__(self, capacity: int = 0):
+        self._set: set[int] = set()
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(hashes), dtype=bool)
+        s = self._set
+        for i, h in enumerate(hashes.tolist()):
+            if h not in s:
+                s.add(h)
+                out[i] = True
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        s = self._set
+        return np.fromiter((h in s for h in hashes.tolist()), dtype=bool, count=len(hashes))
+
+    def add(self, hashes: np.ndarray) -> None:
+        self._set.update(hashes.tolist())
+
+    def __len__(self):
+        return len(self._set)
+
+    def memory_bytes(self) -> int:
+        return len(self._set) * 32
+
+
+class CuckooBackend:
+    """Cuckoo filter: 4-way buckets of uint16 fingerprints (0 = empty)."""
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int = 1_000_000):
+        nbuckets = 1
+        while nbuckets * 4 * 0.95 < capacity:
+            nbuckets <<= 1
+        self.nbuckets = nbuckets
+        self.mask = _U64(nbuckets - 1)
+        self.table = np.zeros((nbuckets, 4), dtype=np.uint16)
+        self.count = 0
+        self.rng = np.random.default_rng(1234)
+
+    def _fp_and_buckets(self, hashes: np.ndarray):
+        h = hashes.astype(_U64)
+        fp = ((_mix(h, 0xF00D) & _U64(0xFFFF)) | _U64(1)).astype(np.uint16)  # never 0
+        b1 = (_mix(h, 0xB1) & self.mask).astype(np.int64)
+        b2 = (b1 ^ (_mix(fp.astype(_U64), 0xA17) & self.mask).astype(np.int64))
+        return fp, b1, b2
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        fp, b1, b2 = self._fp_and_buckets(hashes)
+        t = self.table
+        f = fp[:, None]
+        return ((t[b1] == f).any(axis=1)) | ((t[b2] == f).any(axis=1))
+
+    def _insert_one(self, fp: int, b1: int, b2: int) -> bool:
+        t = self.table
+        for b in (b1, b2):
+            empty = np.nonzero(t[b] == 0)[0]
+            if len(empty):
+                t[b, empty[0]] = fp
+                return True
+        b = b1 if self.rng.integers(2) else b2
+        cur = np.uint16(fp)
+        for _ in range(self.MAX_KICKS):
+            slot = int(self.rng.integers(4))
+            cur, t[b, slot] = t[b, slot], cur
+            alt = int(
+                _U64(b) ^ (_mix(np.array([cur], dtype=_U64), 0xA17)[0] & self.mask)
+            )
+            empty = np.nonzero(t[alt] == 0)[0]
+            if len(empty):
+                t[alt, empty[0]] = cur
+                return True
+            b = alt
+        return False  # table full
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        fp, b1, b2 = self._fp_and_buckets(hashes)
+        present = self.contains(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        seen_batch: set[int] = set()
+        for i in np.nonzero(~present)[0]:
+            h = int(hashes[i])
+            if h in seen_batch:
+                continue
+            seen_batch.add(h)
+            if self._insert_one(int(fp[i]), int(b1[i]), int(b2[i])):
+                self.count += 1
+                out[i] = True
+        return out
+
+    def add(self, hashes: np.ndarray) -> None:
+        self.check_and_add(hashes)
+
+    def __len__(self):
+        return self.count
+
+    def memory_bytes(self) -> int:
+        return self.table.nbytes
+
+
+class BloomBackend:
+    def __init__(self, capacity: int = 1_000_000, fp_rate: float = 1e-4):
+        nbits = int(max(64, -capacity * np.log(fp_rate) / (np.log(2) ** 2)))
+        nbits = 1 << int(np.ceil(np.log2(nbits)))
+        self.nbits_mask = _U64(nbits - 1)
+        self.bits = np.zeros(nbits // 8, dtype=np.uint8)
+        self.k = max(1, int(round(nbits / capacity * np.log(2))))
+        self.count = 0
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        h = hashes.astype(_U64)
+        a = _mix(h, 0x51ED)
+        b = _mix(h, 0xC0FE)
+        with np.errstate(over="ignore"):
+            return np.stack(
+                [(a + _U64(i) * b) & self.nbits_mask for i in range(self.k)], axis=1
+            )
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        pos = self._positions(hashes)
+        byte_idx = (pos >> _U64(3)).astype(np.int64)
+        bit = (np.uint8(1) << (pos & _U64(7)).astype(np.uint8))
+        return ((self.bits[byte_idx] & bit) != 0).all(axis=1)
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        present = self.contains(hashes)
+        new_idx = np.nonzero(~present)[0]
+        # in-batch duplicate hashes: only first occurrence is new
+        _, first_pos = np.unique(hashes[new_idx], return_index=True)
+        winners = new_idx[np.sort(first_pos)]
+        pos = self._positions(hashes[winners])
+        byte_idx = (pos >> _U64(3)).astype(np.int64).ravel()
+        bit = (np.uint8(1) << (pos & _U64(7)).astype(np.uint8)).ravel()
+        np.bitwise_or.at(self.bits, byte_idx, bit)
+        self.count += len(winners)
+        out = np.zeros(len(hashes), dtype=bool)
+        out[winners] = True
+        return out
+
+    def add(self, hashes: np.ndarray) -> None:
+        self.check_and_add(hashes)
+
+    def __len__(self):
+        return self.count
+
+    def memory_bytes(self) -> int:
+        return self.bits.nbytes
+
+
+BACKENDS = {"exact": ExactBackend, "cuckoo": CuckooBackend, "bloom": BloomBackend}
+
+
+@ray.remote(num_cpus=0.25)
+class SeenShard:
+    """One shard of the distributed seen-set (T1, SURVEY §2.3)."""
+
+    def __init__(self, backend: str = "exact", capacity: int = 1_000_000):
+        self.backend = BACKENDS[backend](capacity)
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        return self.backend.check_and_add(np.asarray(hashes, dtype=np.uint64))
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        return self.backend.contains(np.asarray(hashes, dtype=np.uint64))
+
+    def add(self, hashes: np.ndarray) -> int:
+        self.backend.add(np.asarray(hashes, dtype=np.uint64))
+        return len(self.backend)
+
+    def size(self) -> int:
+        return len(self.backend)
+
+    def memory_bytes(self) -> int:
+        return self.backend.memory_bytes()
+
+
+class SeenSet:
+    """Driver-side handle: shard pool + vectorized scatter/gather.
+
+    ``check_and_add`` routes each hash to shard ``hash % n`` and
+    preserves input order in the returned mask.  "Exactly-once wins"
+    holds because a given hash always lands on the same shard and the
+    shard actor serializes its calls.
+    """
+
+    def __init__(self, num_shards: int = 8, backend: str = "exact",
+                 capacity_per_shard: int = 1_000_000):
+        self.num_shards = num_shards
+        self.backend_name = backend
+        self.shards = [
+            SeenShard.remote(backend, capacity_per_shard) for _ in range(num_shards)
+        ]
+
+    def _scatter(self, hashes: np.ndarray):
+        shard_of = (hashes % _U64(self.num_shards)).astype(np.int64)
+        order = np.argsort(shard_of, kind="stable")
+        return shard_of, order
+
+    def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        shard_of, order = self._scatter(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = order[shard_of[order] == s]
+            if len(idx):
+                refs.append(self.shards[s].check_and_add.remote(hashes[idx]))
+                idxs.append(idx)
+        for idx, mask in zip(idxs, ray.get(refs)):
+            out[idx] = mask
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        shard_of, order = self._scatter(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        refs, idxs = [], []
+        for s in range(self.num_shards):
+            idx = order[shard_of[order] == s]
+            if len(idx):
+                refs.append(self.shards[s].contains.remote(hashes[idx]))
+                idxs.append(idx)
+        for idx, mask in zip(idxs, ray.get(refs)):
+            out[idx] = mask
+        return out
+
+    def add(self, hashes: np.ndarray) -> None:
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if len(hashes) == 0:
+            return
+        shard_of, _ = self._scatter(hashes)
+        ray.get([
+            self.shards[s].add.remote(hashes[shard_of == s])
+            for s in range(self.num_shards)
+            if (shard_of == s).any()
+        ])
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def memory_bytes(self) -> int:
+        return sum(ray.get([s.memory_bytes.remote() for s in self.shards]))
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
