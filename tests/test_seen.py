@@ -1,0 +1,73 @@
+"""Seen-set backends: exact / cuckoo / bloom — unit + actor-pool tests."""
+
+import numpy as np
+import pytest
+
+from simplecrawler_ray.state.seen import (
+    BloomBackend,
+    CuckooBackend,
+    ExactBackend,
+    SeenSet,
+)
+
+
+@pytest.mark.parametrize("cls", [ExactBackend, CuckooBackend, BloomBackend])
+def test_backend_check_and_add(cls):
+    b = cls(10_000)
+    h = np.arange(1, 1001, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    first = b.check_and_add(h)
+    assert first.all()  # all new (no false positives at this load)
+    second = b.check_and_add(h)
+    assert not second.any()  # no false negatives ever
+    assert b.contains(h).all()
+
+
+@pytest.mark.parametrize("cls", [ExactBackend, CuckooBackend, BloomBackend])
+def test_backend_in_batch_duplicates(cls):
+    b = cls(1000)
+    h = np.array([7, 8, 7, 9, 8, 7], dtype=np.uint64)
+    mask = b.check_and_add(h)
+    # only the first occurrence of each hash is new
+    assert mask.tolist() == [True, True, False, True, False, False]
+
+
+def test_cuckoo_memory_is_compact():
+    b = CuckooBackend(1_000_000)
+    assert b.memory_bytes() <= 4_200_000  # ~4.2 B/key worst-case pow2 sizing
+
+
+def test_cuckoo_false_positive_rate():
+    b = CuckooBackend(100_000)
+    rng = np.random.default_rng(7)
+    ins = rng.integers(1, 2**63, 50_000).astype(np.uint64)
+    b.add(ins)
+    probe = rng.integers(1, 2**63, 50_000).astype(np.uint64) | np.uint64(1 << 63)
+    fp = b.contains(probe).mean()
+    assert fp < 0.01  # 16-bit fingerprints: ~2^-13 expected
+
+
+def test_seen_set_actor_pool():
+    s = SeenSet(num_shards=3, backend="exact")
+    h = np.arange(100, dtype=np.uint64)
+    assert s.check_and_add(h).all()
+    assert not s.check_and_add(h).any()
+    assert s.contains(h).all()
+    assert s.size() == 100
+    s.shutdown()
+
+
+def test_seen_set_order_preserved():
+    s = SeenSet(num_shards=4, backend="exact")
+    h = np.array([5, 5, 6, 5, 7, 6], dtype=np.uint64)
+    mask = s.check_and_add(h)
+    assert mask.tolist() == [True, False, True, False, True, False]
+    s.shutdown()
+
+
+def test_seen_set_cuckoo_replay():
+    s = SeenSet(num_shards=2, backend="cuckoo", capacity_per_shard=10_000)
+    h = np.arange(1, 5000, dtype=np.uint64)
+    s.add(h)
+    assert s.contains(h).all()
+    assert not s.check_and_add(h).any()
+    s.shutdown()
