@@ -1,44 +1,425 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (the distributed crawl over the
+synthetic ConformanceWeb).  ``queries()`` exposes every implemented
+operator/pipeline from SURVEY.md §2 over the driver's TPC-H-ish test
+tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for the
+SQL-expressible ones (column names match exactly; floats rounded to 6
+decimals on both sides so value hashes compare).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library code.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_floats(df: pd.DataFrame, ndigits: int = 6) -> pd.DataFrame:
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(ndigits)
+    return df
+
+
+# --------------------------------------------------------------------- entry
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the distributed crawl over the synthetic web; returns the
+    fetched frontier table (body column dropped: stable, hashable schema)."""
+    from simplecrawler_ray.pipelines.crawl import CrawlEngine
+    from simplecrawler_ray.sources.web import ConformanceWeb
+
+    eng = CrawlEngine(ConformanceWeb(), "http://127.0.0.1:3000/", seen_shards=2,
+                      store_body=False)
+    res = eng.run(max_rounds=40)
+    t = res.fetched_table().drop_columns(["body"])
+    eng.seen.shutdown()
+    return t
+
+
+# ------------------------------------------------------------------- queries
+
+def _q1_pricing_summary(sf_dir: str):
+    from simplecrawler_ray.ops import groupby_agg
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    out = groupby_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_base_price": ("sum", "l_extendedprice"),
+            "avg_qty": ("mean", "l_quantity"),
+            "avg_price": ("mean", "l_extendedprice"),
+            "avg_disc": ("mean", "l_discount"),
+            "count_order": ("count", "l_quantity"),
+        },
+    )
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return _round_floats(df)
+
+
+def _q_top_orders(sf_dir: str):
+    from simplecrawler_ray.ops import topk
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    t = topk(ds, [("o_totalprice", True), ("o_orderkey", False)], 10)
+    return _round_floats(t.to_pandas())
+
+
+def _q_mktsegment_revenue(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from simplecrawler_ray.ops import broadcast_join, groupby_agg
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    out = groupby_agg(joined, ["c_mktsegment"],
+                      {"revenue": ("sum", "o_totalprice"),
+                       "n_orders": ("count", "o_totalprice")})
+    df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    return _round_floats(df)
+
+
+def _q_region_customers(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from simplecrawler_ray.ops import broadcast_join, groupby_agg
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim[["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+    joined = broadcast_join(cust, dim, on="c_nationkey")
+    out = groupby_agg(joined, ["r_name"],
+                      {"n_customers": ("count", "c_acctbal"),
+                       "avg_acctbal": ("mean", "c_acctbal")})
+    df = out.to_pandas().sort_values("r_name").reset_index(drop=True)
+    return _round_floats(df)
+
+
+def _q_distinct_flags(sf_dir: str):
+    from simplecrawler_ray.ops import distinct
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    df = distinct(ds, ["l_returnflag", "l_linestatus"]).to_pandas()
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def _q_events_hourly(sf_dir: str):
+    from simplecrawler_ray.ops import tumbling_window
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    out = tumbling_window(ds, "ts", 3600, ["event_type"],
+                          {"n": ("count", "value"), "sum_value": ("sum", "value")})
+    df = out.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    return _round_floats(df)
+
+
+def _q_orders_filter_count(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from simplecrawler_ray.ops import groupby_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "O")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = groupby_agg(ds, ["o_orderpriority"], {"n": ("count", "o_orderstatus")})
+    return out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _q_part_brand_stats(sf_dir: str):
+    from simplecrawler_ray.ops import groupby_agg
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+    out = groupby_agg(ds, ["p_brand"],
+                      {"avg_retail": ("mean", "p_retailprice"),
+                       "max_size": ("max", "p_size"),
+                       "n": ("count", "p_size")})
+    return _round_floats(out.to_pandas().sort_values("p_brand").reset_index(drop=True))
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    from simplecrawler_ray.functions.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = exact_dedup(ds).to_pandas()[["doc_id"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_docs_token_stats(sf_dir: str):
+    from simplecrawler_ray.functions.text import token_count_batch
+    from simplecrawler_ray.ops import groupby_agg
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = groupby_agg(ds, ["lang"],
+                      {"n_docs": ("count", "n_chars"),
+                       "avg_chars": ("mean", "n_chars"),
+                       "avg_tokens": ("mean", "n_tokens")})
+    return _round_floats(out.to_pandas().sort_values("lang").reset_index(drop=True))
+
+
+def _q_docs_quality(sf_dir: str):
+    from simplecrawler_ray.functions.text import quality_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+    df = ds.select_columns(["doc_id", "n_chars_m", "n_upper", "n_digit"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_embed_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from simplecrawler_ray.functions.ann import knn_bruteforce
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = np.asarray(
+        q.filter(pa.compute.equal(q.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    t = knn_bruteforce(ds, qvec, k=20)
+    df = t.to_pandas()
+    df["cos"] = df["cos"].round(6)
+    return df.reset_index(drop=True)
+
+
+# ----- rows-only (non-SQL-expressible) --------------------------------------
+
+def _q_crawl_conformance(sf_dir: str):
+    from simplecrawler_ray.pipelines.crawl import CrawlEngine
+    from simplecrawler_ray.sources.web import ConformanceWeb
+
+    eng = CrawlEngine(ConformanceWeb(), "http://127.0.0.1:3000/", seen_shards=2,
+                      store_body=False)
+    res = eng.run(max_rounds=40)
+    t = res.fetched_table().drop_columns(["body"])
+    eng.seen.shutdown()
+    return t
+
+
+def _q_crawl_scaleweb(sf_dir: str):
+    from simplecrawler_ray.pipelines.crawl import CrawlEngine
+    from simplecrawler_ray.sources.web import ScaleWeb
+
+    sw = ScaleWeb(n_pages=300, n_hosts=8, out_degree=4)
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, batch_size=64)
+    res = eng.run(max_rounds=80)
+    t = res.fetched_table().drop_columns(["body"])
+    eng.seen.shutdown()
+    return t
+
+
+def _q_docs_minhash_pairs(sf_dir: str):
+    from simplecrawler_ray.functions.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, num_perm=64, bands=16, jaccard_threshold=0.5)
+
+
+def _q_docs_simhash(sf_dir: str):
+    from simplecrawler_ray.functions.dedup import SimHasher
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2,
+                         zero_copy_batch=True)
+    df = out.select_columns(["doc_id", "simhash"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_docs_langid(sf_dir: str):
+    from simplecrawler_ray.functions.text import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2,
+                         zero_copy_batch=True)
+    df = out.select_columns(["doc_id", "lang_pred"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_docs_fingerprint(sf_dir: str):
+    from simplecrawler_ray.functions.text import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    df = out.select_columns(["doc_id", "fingerprint"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_embed_dup_pairs(sf_dir: str):
+    from simplecrawler_ray.functions.dedup import embedding_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.95, n_planes=6)
+
+
+def _q_embed_knn_ivf(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from simplecrawler_ray.functions.ann import IvfIndex
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = np.asarray(
+        q.filter(pa.compute.equal(q.column("vec_id"), 0)).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    idx = IvfIndex(n_lists=8).fit(ds)
+    df = idx.search(qvec, k=20, nprobe=4)
+    df["cos"] = df["cos"].round(6)
+    return df.reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q_top_orders": _q_top_orders,
+        "q_mktsegment_revenue": _q_mktsegment_revenue,
+        "q_region_customers": _q_region_customers,
+        "q_distinct_flags": _q_distinct_flags,
+        "q_events_hourly": _q_events_hourly,
+        "q_orders_filter_count": _q_orders_filter_count,
+        "q_part_brand_stats": _q_part_brand_stats,
+        "q_docs_exact_dedup": _q_docs_exact_dedup,
+        "q_docs_token_stats": _q_docs_token_stats,
+        "q_docs_quality": _q_docs_quality,
+        "q_embed_knn": _q_embed_knn,
+        # rows-only checks
+        "crawl_conformance": _q_crawl_conformance,
+        "crawl_scaleweb": _q_crawl_scaleweb,
+        "q_docs_minhash_pairs": _q_docs_minhash_pairs,
+        "q_docs_simhash": _q_docs_simhash,
+        "q_docs_langid": _q_docs_langid,
+        "q_docs_fingerprint": _q_docs_fingerprint,
+        "q_embed_dup_pairs": _q_embed_dup_pairs,
+        "q_embed_knn_ivf": _q_embed_knn_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 6) AS avg_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10
+        """,
+        "q_mktsegment_revenue": """
+            SELECT c_mktsegment,
+                   ROUND(SUM(o_totalprice), 6) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "q_region_customers": """
+            SELECT r_name,
+                   COUNT(*) AS n_customers,
+                   ROUND(AVG(c_acctbal), 6) AS avg_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+            ORDER BY r_name
+        """,
+        "q_distinct_flags": """
+            SELECT DISTINCT l_returnflag, l_linestatus
+            FROM lineitem
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_events_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, window_start
+        """,
+        "q_orders_filter_count": """
+            SELECT o_orderpriority, COUNT(*) AS n
+            FROM orders
+            WHERE o_orderstatus = 'O'
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q_part_brand_stats": """
+            SELECT p_brand,
+                   ROUND(AVG(p_retailprice), 6) AS avg_retail,
+                   MAX(p_size) AS max_size,
+                   COUNT(*) AS n
+            FROM part
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        "q_docs_exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id
+            FROM documents
+            GROUP BY text
+            ORDER BY doc_id
+        """,
+        "q_docs_token_stats": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   ROUND(AVG(n_chars), 6) AS avg_chars,
+                   ROUND(AVG(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                             END), 6) AS avg_tokens
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang
+        """,
+        "q_docs_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars_m,
+                   length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "q_embed_knn": """
+            SELECT vec_id,
+                   ROUND(CAST(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 6) AS cos
+            FROM embeddings
+            ORDER BY cos DESC, vec_id
+            LIMIT 20
+        """,
+    }

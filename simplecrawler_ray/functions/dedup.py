@@ -1,0 +1,264 @@
+"""Deduplication operators over the ``documents`` table.
+
+Exact + the near-dup family a 100 TB training-data pipeline needs:
+
+* ``exact_dedup``      — content-hash partition + per-group min-id win
+  (one shuffle of (hash, id) pairs; text never shuffles).
+* ``minhash_lsh_pairs``— shingle -> minhash -> banded LSH buckets ->
+  candidate pairs -> Jaccard verify.  The only groupby is on (band,
+  band_hash) — the classic web-dedup shape.
+* ``simhash_batch``    — 64-bit simhash column; near-dups = small
+  hamming distance (bucketed by rotated prefixes at scale).
+* ``ngram_jaccard``    — exact pairwise verify for candidate pairs.
+* ``embedding_dup_pairs`` — cosine near-dup over an embedding column
+  via LSH bucketing (random hyperplanes) then in-bucket matmul.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..ops import groupby_agg
+
+_TOKEN_RE = re.compile(r"\w+")
+
+
+def _stable_hash64(data: "str|bytes") -> int:
+    """Process-stable 64-bit hash (Python's builtin hash() is salted per
+    process — useless across Ray workers)."""
+    import hashlib, struct
+
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return struct.unpack("<q", hashlib.blake2b(data, digest_size=8).digest())[0]
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """blake2b-64 of the exact text bytes."""
+    import hashlib, struct
+
+    texts = batch.column(text_col).to_pylist()
+    hs = [
+        struct.unpack("<q", hashlib.blake2b((t or "").encode(), digest_size=8).digest())[0]
+        for t in texts
+    ]
+    return batch.append_column("content_hash", pa.array(hs, pa.int64()))
+
+
+def exact_dedup(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Keep min(id) per distinct text.  Shuffles only (hash, id)."""
+    hashed = ds.map_batches(
+        lambda b: content_hash_batch(b, text_col).select(["content_hash", id_col]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return groupby_agg(hashed, ["content_hash"], {id_col: ("min", id_col)})
+
+
+# ---------------------------------------------------------------- minhash
+
+def _shingles(text: str, k: int = 3) -> set[int]:
+    toks = _TOKEN_RE.findall(text.lower())
+    if len(toks) < k:
+        return {_stable_hash64(" ".join(toks))} if toks else set()
+    return {_stable_hash64(" ".join(toks[i: i + k])) for i in range(len(toks) - k + 1)}
+
+
+class MinHasher:
+    """Stateful stage: permutation parameters generated once per worker."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42, shingle_k: int = 3):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.int64).astype(np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        self.prime = np.uint64((1 << 61) - 1)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text or "", self.shingle_k)
+        if not sh:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
+        vals = np.array(list(sh), dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            # (a*x + b) mod p for each permutation — vectorized (P x S)
+            prod = self.a[:, None] * vals[None, :] + self.b[:, None]
+            hashed = prod % self.prime
+        return hashed.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts])
+        return batch.append_column(
+            "minhash", pa.array(list(sigs.astype(np.uint64)), pa.list_(pa.uint64()))
+        )
+
+
+def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
+                      jaccard_threshold: float = 0.7, id_col: str = "doc_id",
+                      seed: int = 42) -> pa.Table:
+    """Near-dup candidate pairs via banded LSH, verified by signature
+    Jaccard estimate.  Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_perm // bands
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sigs = batch.column("minhash").to_pylist()
+        out_id, out_band, out_bh, out_sig = [], [], [], []
+        for i, sig in zip(ids, sigs):
+            s = np.asarray(sig, dtype=np.uint64)
+            for b in range(bands):
+                chunk = s[b * rows_per_band: (b + 1) * rows_per_band]
+                out_id.append(i)
+                out_band.append(b)
+                out_bh.append(_stable_hash64(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF)
+                out_sig.append(list(map(int, s)))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_bh, pa.int64()),
+            "minhash": pa.array(out_sig, pa.list_(pa.uint64())),
+        })
+
+    banded = ds.map_batches(MinHasher, fn_constructor_args=(num_perm, seed),
+                            batch_format="pyarrow", concurrency=2,
+                            zero_copy_batch=True).map_batches(
+        to_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = group.sort_values(id_col).drop_duplicates(subset=[id_col])
+        ids = g[id_col].to_numpy()
+        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in g["minhash"]])
+        out_a, out_b, out_j = [], [], []
+        for x in range(len(ids)):
+            eq = (sigs[x + 1:] == sigs[x]).mean(axis=1)
+            for off, j in enumerate(eq):
+                if j >= jaccard_threshold:
+                    out_a.append(int(ids[x]))
+                    out_b.append(int(ids[x + 1 + off]))
+                    out_j.append(float(j))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    tables = [ray.get(r) for r in pairs.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "est_jaccard": pa.array([], pa.float64())})
+    merged = pa.concat_tables(tables, promote_options="default").to_pandas()
+    merged = merged.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
+# ---------------------------------------------------------------- simhash
+
+class SimHasher:
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def _hash64(self, token: str) -> np.uint64:
+        import hashlib, struct
+
+        return np.uint64(struct.unpack(
+            "<Q", hashlib.blake2b(token.encode(), digest_size=8,
+                                  salt=b"simhash_") .digest())[0])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = []
+        bitcols = np.arange(64, dtype=np.uint64)
+        for t in texts:
+            toks = _TOKEN_RE.findall((t or "").lower())
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array([self._hash64(tok) for tok in set(toks)], dtype=np.uint64)
+            bits = ((hs[:, None] >> bitcols[None, :]) & np.uint64(1)).astype(np.int64)
+            v = (bits * 2 - 1).sum(axis=0)
+            sh = np.uint64(0)
+            for b in range(64):
+                if v[b] > 0:
+                    sh |= np.uint64(1) << np.uint64(b)
+            out.append(int(np.int64(sh)))
+        return batch.append_column("simhash", pa.array(out, pa.int64()))
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _shingles(a, k), _shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ------------------------------------------------------------ embeddings
+
+def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
+                        id_col: str = "vec_id", emb_col: str = "embedding",
+                        n_planes: int = 8, seed: int = 42) -> pa.Table:
+    """Cosine near-dup pairs via random-hyperplane LSH bucketing, then
+    exact in-bucket cosine (numpy matmul).  Only (bucket, id, vec) rows
+    shuffle; pairs with cos >= threshold returned (id_a < id_b).
+
+    Scale note: recall is per-bucket; raise n_tables (re-run with a
+    different seed and union) for higher recall at 10^10 rows.
+    """
+    first = ds.take(1)
+    dim = len(first[0][emb_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        embs = np.stack(batch.column(emb_col).to_pylist()).astype(np.float32)
+        bits = (embs @ pl) > 0
+        bucket = bits.dot(1 << np.arange(bits.shape[1])).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            emb_col: batch.column(emb_col),
+            "bucket": pa.array(bucket),
+        })
+
+    def in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = np.stack([np.asarray(e, dtype=np.float32) for e in g[emb_col]])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        mn = m / norms
+        sim = mn @ mn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sim[ia, ib] >= threshold
+        return pd.DataFrame({
+            "id_a": ids[ia[mask]], "id_b": ids[ib[mask]],
+            "cos": sim[ia, ib][mask].astype(float),
+        })
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(in_bucket, batch_format="pandas")
+    )
+    tables = [ray.get(r) for r in pairs.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    merged = pa.concat_tables(tables, promote_options="default").to_pandas()
+    merged = merged.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(merged, preserve_index=False)

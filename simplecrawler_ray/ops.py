@@ -1,0 +1,176 @@
+"""Generic Ray-Data-first relational operators.
+
+These are the engine's reusable wide-operation building blocks, written
+the way they must be written at 100 TB:
+
+* ``groupby_agg``   — partial aggregation inside ``map_batches`` (one
+  row per key per batch) before the shuffle, so the all-to-all exchange
+  moves pre-combined partials, not raw rows.
+* ``broadcast_join``— small side ``ray.put`` once, pandas merge per
+  batch inside ``map_batches``; no shuffle.
+* ``topk``          — per-batch local top-k, then a tiny driver merge;
+  the full sort never happens.
+* ``distinct``      — hash-based groupby first-wins.
+* ``zip_with_index``— deterministic global row ids from per-block
+  offsets (block metadata only; no extra data pass).
+* ``tumbling_window``— event-time bucketing + grouped aggregate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+_AGG_FUNCS = {"sum", "count", "min", "max", "mean"}
+
+
+def groupby_agg(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, str]],
+                batch_format: str = "pyarrow") -> rd.Dataset:
+    """Grouped aggregation with per-batch partial combine.
+
+    ``aggs``: output_name -> (func, input_col); func in sum/count/min/
+    max/mean.  mean is computed as sum+count partials and finalized
+    after the shuffle, so partials stay mergeable.
+    """
+    for name, (fn, col) in aggs.items():
+        if fn not in _AGG_FUNCS:
+            raise ValueError(f"unsupported agg {fn}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(keys, sort=False, dropna=False)
+        out = {}
+        for name, (fn, col) in aggs.items():
+            if fn == "count":
+                out[f"__{name}_cnt"] = g[col if col else keys[0]].size()
+            elif fn == "mean":
+                out[f"__{name}_sum"] = g[col].sum()
+                out[f"__{name}_cnt"] = g[col].count()
+            else:
+                out[f"__{name}_{fn}"] = getattr(g[col], fn)()
+        pdf = pd.DataFrame(out).reset_index()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        res = {k: [group[k].iloc[0]] for k in keys}
+        for name, (fn, col) in aggs.items():
+            if fn == "count":
+                res[name] = [group[f"__{name}_cnt"].sum()]
+            elif fn == "mean":
+                cnt = group[f"__{name}_cnt"].sum()
+                res[name] = [group[f"__{name}_sum"].sum() / cnt if cnt else float("nan")]
+            elif fn == "sum":
+                res[name] = [group[f"__{name}_sum"].sum()]
+            elif fn == "min":
+                res[name] = [group[f"__{name}_min"].min()]
+            elif fn == "max":
+                res[name] = [group[f"__{name}_max"].max()]
+        return pd.DataFrame(res)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(keys).map_groups(final, batch_format="pandas")
+
+
+def broadcast_join(ds: rd.Dataset, small: "pd.DataFrame|pa.Table", on: "str|list[str]",
+                   how: str = "inner", suffix: str = "_r") -> rd.Dataset:
+    """Join against a broadcast small side (dimension table)."""
+    if isinstance(small, pa.Table):
+        small = small.to_pandas()
+    small_ref = ray.put(small)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        sm = ray.get(small_ref)
+        df = batch.to_pandas()
+        out = df.merge(sm, on=on, how=how, suffixes=("", suffix))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def topk(ds: rd.Dataset, sort_cols: list[tuple[str, bool]], k: int) -> pa.Table:
+    """Global top-k: per-block local top-k -> tiny driver merge.
+
+    ``sort_cols``: [(col, descending)], ties broken by later entries.
+    """
+    keys = [(c, "descending" if d else "ascending") for c, d in sort_cols]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=keys)
+        return batch.take(idx[:k])
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    tables = [ray.get(r) for r in parts.to_arrow_refs()]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return None
+    merged = pa.concat_tables(tables, promote_options="default")
+    idx = pc.sort_indices(merged, sort_keys=keys)
+    return merged.take(idx[:k])
+
+
+def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """DISTINCT over cols: per-batch dedup partial, then grouped first-wins."""
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(1)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(cols)
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+def zip_with_index(ds: rd.Dataset, col: str = "row_id", start: int = 0) -> rd.Dataset:
+    """Deterministic global row index from per-block row counts.
+
+    Reads only block metadata for the offsets (no data pass); each block
+    then stamps ``start + offset + local_index`` in parallel.
+    """
+    ds = ds.materialize()
+    bundles = list(ds.iter_internal_ref_bundles())
+    counts = []
+    for b in bundles:
+        for _, meta in b.blocks:
+            counts.append(meta.num_rows)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + start
+
+    @ray.remote
+    def stamp(block_ref_inner, off):
+        block = block_ref_inner
+        arr = pa.array(np.arange(off, off + block.num_rows, dtype=np.int64))
+        return block.append_column(col, arr)
+
+    out_refs = []
+    i = 0
+    for b in bundles:
+        for block_ref, _ in b.blocks:
+            out_refs.append(stamp.remote(block_ref, int(offsets[i])))
+            i += 1
+    return rd.from_arrow_refs(out_refs)
+
+
+def tumbling_window(ds: rd.Dataset, ts_col: str, size_s: int, keys: list[str],
+                    aggs: dict[str, tuple[str, str]]) -> rd.Dataset:
+    """Event-time tumbling window: bucket ts to window start, grouped agg.
+
+    Ray Data has no watermarks (batch engine); window assignment is a
+    pure column transform, then ``groupby_agg`` handles partial+final.
+    """
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        win = pc.floor_temporal(ts, multiple=size_s, unit="second")
+        return batch.append_column("window_start", win)
+
+    bucketed = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return groupby_agg(bucketed, keys + ["window_start"], aggs)
