@@ -127,7 +127,8 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         })
 
     banded = ds.map_batches(MinHasher, fn_constructor_args=(num_perm, seed),
-                            batch_format="pyarrow", concurrency=2,
+                            batch_format="pyarrow", concurrency=(2, 8),
+                            batch_size=1024,
                             zero_copy_batch=True).map_batches(
         to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
