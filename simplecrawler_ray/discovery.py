@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 from typing import Callable, Optional
 
-from .urlnorm import Uri, clean_url, protocol_supported
+from .urlnorm import Uri, clean_url, protocol_ok
 
 # Regex extractors (order matters: candidate list order is pinned).
 _RE_HREF_SRC_QUOTED = re.compile(r"\s(?:href|src)\s*=\s*(\"|').*?\1", re.I)
@@ -110,18 +110,26 @@ def clean_expand_resources(
 ) -> list[str]:
     """Clean + absolutize + normalize + per-document order-preserving dedup."""
     seen: set[str] = set()
+    seen_raw: set[str] = set()
     out: list[str] = []
+    base = Uri.parse(referrer_url or "")
     for raw in candidates:
         if not raw:
             continue
+        # identical raw extractions (overlapping regexes) clean to the
+        # same URL — skip re-parsing them
+        if raw in seen_raw:
+            continue
+        seen_raw.add(raw)
         url = clean_url(raw, referrer_protocol)
         try:
-            url = Uri.parse(url).absolute_to(referrer_url or "").normalize().href()
+            u = Uri.parse(url).absolute_to(base).normalize()
         except (ValueError, UnicodeDecodeError):
             continue
+        url = u.href()
         if not url:
             continue
-        if not protocol_supported(url, allowed_protocols):
+        if not protocol_ok(u.protocol or "http", allowed_protocols):
             continue
         if url not in seen:
             seen.add(url)

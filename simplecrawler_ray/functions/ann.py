@@ -40,9 +40,10 @@ def knn_bruteforce(ds: rd.Dataset, query: np.ndarray, k: int = 10,
         return pa.table({id_col: pa.array(ids[order]),
                          "cos": pa.array(sims[order].astype(np.float64))})
 
+    from ..ops import gather_tables
+
     parts = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-    tables = [ray.get(r) for r in parts.to_arrow_refs()]
-    merged = pa.concat_tables([t for t in tables if t.num_rows],
+    merged = pa.concat_tables(gather_tables(parts),
                               promote_options="default").to_pandas()
     merged = merged.sort_values(["cos", id_col], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(merged, preserve_index=False)
@@ -85,7 +86,9 @@ class IvfIndex:
         assigned = ds.map_batches(assign_batch, batch_format="pyarrow",
                                   zero_copy_batch=True)
         # one shuffle: co-locate each inverted list
-        for t in [ray.get(r) for r in assigned.to_arrow_refs()]:
+        from ..ops import gather_tables
+
+        for t in gather_tables(assigned):
             df = t.to_pandas()
             for lid, g in df.groupby("list_id"):
                 ids = g[id_col].to_numpy()

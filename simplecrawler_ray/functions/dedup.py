@@ -148,10 +148,11 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                     out_j.append(float(j))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
 
+    from ..ops import gather_tables
+
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
-    tables = [ray.get(r) for r in pairs.to_arrow_refs()]
-    tables = [t for t in tables if t.num_rows]
+    tables = gather_tables(pairs)
     if not tables:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
@@ -249,13 +250,14 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
             "cos": sim[ia, ib][mask].astype(float),
         })
 
+    from ..ops import gather_tables
+
     pairs = (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(in_bucket, batch_format="pandas")
     )
-    tables = [ray.get(r) for r in pairs.to_arrow_refs()]
-    tables = [t for t in tables if t.num_rows]
+    tables = gather_tables(pairs)
     if not tables:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),

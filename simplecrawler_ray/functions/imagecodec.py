@@ -220,6 +220,9 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+_DCT32 = _dct_matrix(32)
+
+
 def phash64(arr: np.ndarray) -> int:
     """Perceptual hash: resize to 32x32 gray (box mean), 8x8 low-freq DCT
     sign-vs-median bits -> signed int64."""
@@ -228,12 +231,9 @@ def phash64(arr: np.ndarray) -> int:
     ys = (np.arange(32) * h // 32)
     xs = (np.arange(32) * w // 32)
     small = gray[np.minimum(ys, h - 1)][:, np.minimum(xs, w - 1)]
-    d32 = _dct_matrix(32)
-    coeffs = d32 @ small @ d32.T
-    low = coeffs[:8, :8].copy()
-    med = np.median(low.flatten()[1:])  # skip DC
-    bits = (low.flatten() > med).astype(np.uint64)
-    val = np.uint64(0)
-    for b in bits:
-        val = (val << np.uint64(1)) | b
-    return int(np.int64(val))
+    coeffs = _DCT32 @ small @ _DCT32.T
+    low = coeffs[:8, :8].reshape(-1)
+    med = np.median(low[1:])  # skip DC
+    bits = (low > med).astype(np.uint8)
+    packed = np.packbits(bits)  # big-endian bit order == the shift loop
+    return int(np.int64(packed.view(">u8")[0]))

@@ -31,6 +31,18 @@ import ray.data as rd
 _AGG_FUNCS = {"sum", "count", "min", "max", "mean"}
 
 
+def gather_tables(ds: rd.Dataset) -> list[pa.Table]:
+    """Driver-side gather of a dataset's blocks as Arrow tables.
+
+    ALWAYS materialize before to_arrow_refs: on Ray 2.49 calling
+    ``to_arrow_refs()`` on a lazy Dataset executes the plan TWICE
+    (observed; side effects + cost double).  Materialize pins blocks,
+    then the refs come for free.
+    """
+    md = ds.materialize()
+    return [t for t in (ray.get(r) for r in md.to_arrow_refs()) if t.num_rows]
+
+
 def groupby_agg(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, str]],
                 batch_format: str = "pyarrow") -> rd.Dataset:
     """Grouped aggregation with per-batch partial combine.
@@ -106,8 +118,7 @@ def topk(ds: rd.Dataset, sort_cols: list[tuple[str, bool]], k: int) -> pa.Table:
         return batch.take(idx[:k])
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-    tables = [ray.get(r) for r in parts.to_arrow_refs()]
-    tables = [t for t in tables if t.num_rows]
+    tables = gather_tables(parts)
     if not tables:
         return None
     merged = pa.concat_tables(tables, promote_options="default")

@@ -63,7 +63,8 @@ PAYLOAD_COLS = ["body", "caption", "image_id", "disposition", "error_flags", "lo
 # canonical column order for stored fetched tables ("discovered" is
 # transient — consumed by the candidate stage, not stored)
 _FETCHED_ORDER = [f.name for f in FRONTIER_SCHEMA] + [
-    "body", "caption", "image_id", "disposition", "error_flags", "location", "mime_supported"
+    "body", "caption", "image_id", "disposition", "error_flags", "location",
+    "mime_supported", "phash"
 ]
 
 
@@ -101,6 +102,7 @@ DEFAULT_CONFIG = dict(
     batch_size=256,
     fetcher_concurrency=4,
     checkpoint_dir=None,
+    phash_fetched=False,
 )
 
 
@@ -108,6 +110,8 @@ class CrawlEngine:
     def __init__(self, web, initial_url: str, cache_index: Optional[dict] = None,
                  fetch_complete_hook: Optional[Callable[[dict], "list[str]|None"]] = None,
                  **options):
+        # cache (conditional-GET) support only when the caller attaches an
+        # index — mirrors the reference's `cache = null` default
         unknown = set(options) - set(DEFAULT_CONFIG)
         if unknown:
             raise TypeError(f"unknown options: {unknown}")
@@ -119,6 +123,7 @@ class CrawlEngine:
             raise ValueError(f"cannot parse initial URL {initial_url!r}")
         self.cfg["host"] = seed.host
         self.seed_row = seed
+        self.use_cache = cache_index is not None
         self.cache_index = cache_index if cache_index is not None else {}
         self.fetch_complete_hook = fetch_complete_hook
 
@@ -138,8 +143,19 @@ class CrawlEngine:
         self.terminal_refs: list = []      # ObjectRefs of fetched arrow tables
         self._manual: list[dict] = []      # manually enqueued candidates
         self._web_ref = None
+        self.timings: dict[str, float] = {}  # per-phase seconds (profiling)
 
     # ------------------------------------------------------------- helpers
+
+    def _timed(self, key: str):
+        import contextlib, time as _t
+
+        @contextlib.contextmanager
+        def cm():
+            t0 = _t.perf_counter()
+            yield
+            self.timings[key] = self.timings.get(key, 0.0) + _t.perf_counter() - t0
+        return cm()
 
     def _count(self, key: str, n: int = 1) -> None:
         if n:
@@ -151,6 +167,19 @@ class CrawlEngine:
         same canonicalize/filter/dedup pipeline next round."""
         self._manual.append(dict(candidate=url, referrer_url=referrer_url,
                                  referrer_depth=referrer_depth, forced=force))
+
+    def seed_frontier(self, urls: list[str]) -> int:
+        """Bulk-enqueue a synthetic frontier (FIXTURES §7) through the
+        standard canonicalize/filter/dedup pipeline.  Returns admitted
+        count.  Setup step — benchmarks time the crawl, not this."""
+        cands = candidate_table([
+            dict(candidate=u, referrer_url="", referrer_depth=0,
+                 parent_seq=-2, pos=i)
+            for i, u in enumerate(urls)
+        ])
+        proc = CandidateProcessor(self.cfg, self.robots_cache)
+        admitted = self._admit_candidates(proc(cands))
+        return admitted.num_rows
 
     def _seed(self) -> None:
         # start() adds the seed directly — no domain/robots/condition gate
@@ -268,42 +297,44 @@ class CrawlEngine:
             proc = CandidateProcessor(self.cfg, self.robots_cache)
             self._admit_candidates(proc(cands))
 
-        wave = self._dequeue_wave()
+        with self._timed("dequeue"):
+            wave = self._dequeue_wave()
         if wave.num_rows == 0:
             return False
 
         # robots for hosts new this round (crawler.ts:1296-1335)
         if self.cfg["respect_robots_txt"]:
-            hosts = {host_key(u) for u in wave.column("url").to_pylist()}
-            sitemaps = self._fetch_robots(hosts)
-            if sitemaps is not None:
-                proc = CandidateProcessor(self.cfg, self.robots_cache)
-                self._admit_candidates(proc(sitemaps))
-            # re-check wave rows against fresh rules
-            allowed_mask = []
-            for u in wave.column("url").to_pylist():
-                rules = self.robots_cache.get(host_key(u))
-                allowed_mask.append(rules.is_allowed(u) if rules else True)
-            allowed = pa.array(allowed_mask)
-            disallowed = wave.filter(pc.invert(allowed))
-            if disallowed.num_rows:
-                self._count("fetchdisallowed", disallowed.num_rows)
-                dis = disallowed.set_column(
-                    disallowed.schema.get_field_index("status"),
-                    "status", pa.array([STATUS_DISALLOWED] * disallowed.num_rows))
-                dis = dis.set_column(
-                    dis.schema.get_field_index("fetched"),
-                    "fetched", pa.array([True] * disallowed.num_rows))
-                for name, typ in zip(
-                    PAYLOAD_COLS,
-                    [pa.binary(), pa.string(), pa.string(), pa.string(), pa.string(),
-                     pa.string(), pa.list_(pa.string()), pa.bool_()],
-                ):
-                    dis = dis.append_column(name, pa.nulls(dis.num_rows, typ))
-                self.terminal_refs.append(ray.put(_normalize_fetched(dis)))
-                wave = wave.filter(allowed)
-            if wave.num_rows == 0:
-                return True
+          with self._timed("robots"):
+              hosts = {host_key(u) for u in wave.column("url").to_pylist()}
+              sitemaps = self._fetch_robots(hosts)
+              if sitemaps is not None:
+                  proc = CandidateProcessor(self.cfg, self.robots_cache)
+                  self._admit_candidates(proc(sitemaps))
+              # re-check wave rows against fresh rules
+              allowed_mask = []
+              for u in wave.column("url").to_pylist():
+                  rules = self.robots_cache.get(host_key(u))
+                  allowed_mask.append(rules.is_allowed(u) if rules else True)
+              allowed = pa.array(allowed_mask)
+              disallowed = wave.filter(pc.invert(allowed))
+              if disallowed.num_rows:
+                  self._count("fetchdisallowed", disallowed.num_rows)
+                  dis = disallowed.set_column(
+                      disallowed.schema.get_field_index("status"),
+                      "status", pa.array([STATUS_DISALLOWED] * disallowed.num_rows))
+                  dis = dis.set_column(
+                      dis.schema.get_field_index("fetched"),
+                      "fetched", pa.array([True] * disallowed.num_rows))
+                  for name, typ in zip(
+                      PAYLOAD_COLS,
+                      [pa.binary(), pa.string(), pa.string(), pa.string(), pa.string(),
+                       pa.string(), pa.list_(pa.string()), pa.bool_()],
+                  ):
+                      dis = dis.append_column(name, pa.nulls(dis.num_rows, typ))
+                  self.terminal_refs.append(ray.put(_normalize_fetched(dis)))
+                  wave = wave.filter(allowed)
+              if wave.num_rows == 0:
+                  return True
 
         self.fetch_order.extend(wave.column("url").to_pylist())
         self._count("fetchstart", wave.num_rows)
@@ -319,24 +350,28 @@ class CrawlEngine:
         wave_ds = rd.from_arrow(chunks)
         # task-based UDF + worker-local state cache: per-worker init cost is
         # paid once per crawl, not once per round (see stages/fetch.py)
-        fetched_ds = wave_ds.map_batches(
-            fetcher_udf,
-            fn_kwargs=dict(web_ref=self._web_ref, cfg_ref=cfg_ref, cache_ref=cache_ref),
-            batch_format="pyarrow",
-            batch_size=bs,
-            zero_copy_batch=True,
-        ).materialize()
-        fetched_tables = [ray.get(ref) for ref in fetched_ds.to_arrow_refs()]
+        with self._timed("fetch"):
+            fetched_ds = wave_ds.map_batches(
+                fetcher_udf,
+                fn_kwargs=dict(web_ref=self._web_ref, cfg_ref=cfg_ref, cache_ref=cache_ref),
+                batch_format="pyarrow",
+                batch_size=bs,
+                zero_copy_batch=True,
+            ).materialize()
+        with self._timed("fetch_gather"):
+            fetched_tables = [ray.get(ref) for ref in fetched_ds.to_arrow_refs()]
         fetched_tables = [t for t in fetched_tables if t.num_rows]
         if not fetched_tables:
             return True
-        fetched_raw = pa.concat_tables(fetched_tables, promote_options="default")
-        fetched = _normalize_fetched(fetched_raw)  # "discovered" stays transient
+        with self._timed("fetch_concat"):
+            fetched_raw = pa.concat_tables(fetched_tables, promote_options="default")
+            fetched = _normalize_fetched(fetched_raw)  # "discovered" stays transient
 
-        # store terminal rows (payloads live in the object store, not driver)
-        self.terminal_refs.append(ray.put(fetched))
+            # store terminal rows (payloads live in the object store, not driver)
+            self.terminal_refs.append(ray.put(fetched))
 
         # ---- metrics from dispositions ----
+        _t_metrics = self._timed("metrics"); _t_metrics.__enter__()
         disp_counts = pc.value_counts(fetched.column("disposition"))
         for entry in disp_counts.to_pylist():
             if entry["values"]:
@@ -354,17 +389,21 @@ class CrawlEngine:
         if self.cfg["discover"]:
             self._count("discoverycomplete", ds_count)
 
+        _t_metrics.__exit__(None, None, None)
         # ---- cache index update (etag / last-modified) ----
-        for u, hj, code in zip(fetched.column("url").to_pylist(),
-                               fetched.column("state_headers").to_pylist(),
-                               fetched.column("state_code").to_pylist()):
-            if hj and 200 <= code < 300:
-                h = json.loads(hj)
-                etag, lastmod = h.get("etag"), h.get("last-modified")
-                if etag or lastmod:
-                    self.cache_index[u] = (etag, lastmod)
+        if self.use_cache:
+            with self._timed("cache_index"):
+                for u, hj, code in zip(fetched.column("url").to_pylist(),
+                                       fetched.column("state_headers").to_pylist(),
+                                       fetched.column("state_code").to_pylist()):
+                    if hj and 200 <= code < 300:
+                        h = json.loads(hj)
+                        etag, lastmod = h.get("etag"), h.get("last-modified")
+                        if etag or lastmod:
+                            self.cache_index[u] = (etag, lastmod)
 
         # ---- redirect candidates (depth pinning + initial domain change) ----
+        _t_redir = self._timed("redirects"); _t_redir.__enter__()
         redirect_cands = []
         sorted_fetched = fetched.take(pc.sort_indices(fetched, sort_keys=[("seq", "ascending")]))
         for seq, url, depth, disp, loc in zip(
@@ -398,7 +437,9 @@ class CrawlEngine:
                                                  referrer_depth=row["depth"],
                                                  parent_seq=row["seq"], pos=0))
 
+        _t_redir.__exit__(None, None, None)
         # ---- discovered candidates (explode + canonicalize) ----
+        _t_cand = self._timed("candidates"); _t_cand.__enter__()
         max_depth = self.cfg["max_depth"]
         if fetched.num_rows <= 5000:
             # small wave: driver-side (per-round Dataset planning overhead
@@ -419,16 +460,20 @@ class CrawlEngine:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            cand_tables = [ray.get(r) for r in cand_ds.to_arrow_refs()]
-            cand_tables = [t for t in cand_tables if t.num_rows]
+            from ..ops import gather_tables
+
+            cand_tables = gather_tables(cand_ds)
         if redirect_cands:
             proc = CandidateProcessor(self.cfg, self.robots_cache)
             cand_tables.append(proc(candidate_table(redirect_cands)))
+        _t_cand.__exit__(None, None, None)
         if cand_tables:
-            all_cands = pa.concat_tables(cand_tables, promote_options="default")
-            self._admit_candidates(all_cands)
+            with self._timed("admit"):
+                all_cands = pa.concat_tables(cand_tables, promote_options="default")
+                self._admit_candidates(all_cands)
 
-        self._checkpoint(fetched)
+        with self._timed("checkpoint"):
+            self._checkpoint(fetched)
         return True
 
     # ------------------------------------------------------------- public
@@ -443,6 +488,77 @@ class CrawlEngine:
                 break
         self._count("complete")
         return CrawlResult(self)
+
+    def run_turbo(self, sink_dir: str, max_rounds: int = 100) -> dict:
+        """Scale-path crawl: one fused map_batches per round (stages/turbo.py).
+
+        Fetched rows stream to ``sink_dir`` parquet from the workers; the
+        driver only merges thin new-frontier rows and applies politeness.
+        Ordering is hash-seq (BFS-monotone across rounds, arbitrary within
+        a round) — use ``run()`` when reference-exact FIFO matters.
+        """
+        from ..stages.turbo import MetricsActor, turbo_round_udf
+
+        self._count("crawlstart")
+        self._seed()
+        metrics_actor = MetricsActor.remote()
+        if self._web_ref is None:
+            self._web_ref = ray.put(self.web)
+        cfg_ref = ray.put(self.cfg)
+        robots_ref = ray.put(self.robots_cache)
+        robots_version = 0
+        fetched_total = 0
+        bs = self.cfg["batch_size"]
+        while self.round_no < max_rounds:
+            if self._manual:
+                cands = candidate_table(self._manual)
+                self._manual = []
+                proc = CandidateProcessor(self.cfg, self.robots_cache)
+                self._admit_candidates(proc(cands))
+            with self._timed("dequeue"):
+                wave = self._dequeue_wave()
+            if wave.num_rows == 0:
+                break
+            if self.cfg["respect_robots_txt"]:
+                with self._timed("robots"):
+                    hosts = {host_key(u) for u in wave.column("host").to_pylist()}
+                    before = len(self.robots_cache)
+                    hosts_new = hosts - self.robots_cache.keys()
+                    if hosts_new:
+                        self._fetch_robots(hosts_new)
+                    if len(self.robots_cache) != before:
+                        robots_ref = ray.put(self.robots_cache)
+                        robots_version += 1
+            fetched_total += wave.num_rows
+            with self._timed("turbo_round"):
+                chunks = [wave.slice(o, bs) for o in range(0, wave.num_rows, bs)] or [wave]
+                ds = rd.from_arrow(chunks).map_batches(
+                    turbo_round_udf,
+                    fn_kwargs=dict(web_ref=self._web_ref, cfg_ref=cfg_ref,
+                                   robots_ref=robots_ref,
+                                   seen_shards=self.seen.shards,
+                                   round_no=self.round_no, sink_dir=sink_dir,
+                                   metrics_actor=metrics_actor),
+                    batch_format="pyarrow",
+                    batch_size=bs,
+                    zero_copy_batch=True,
+                )
+                from ..ops import gather_tables as _gt
+
+                new_tables = _gt(ds)
+            with self._timed("merge"):
+                if new_tables:
+                    merged = pa.concat_tables(new_tables)
+                    self.queued = (pa.concat_tables([self.queued, merged])
+                                   if self.queued.num_rows else merged)
+            self.round_no += 1
+        counters = ray.get(metrics_actor.get.remote())
+        for k, v in counters.items():
+            self._count(k, v)
+        self._count("complete")
+        ray.kill(metrics_actor)
+        return {"fetched": fetched_total, "rounds": self.round_no,
+                "metrics": dict(self.metrics), "sink_dir": sink_dir}
 
     def _checkpoint(self, fetched: pa.Table) -> None:
         ckpt = self.cfg["checkpoint_dir"]

@@ -184,6 +184,6 @@ class FrontierQueue:
 
 
 def ray_get_all(ds) -> list[pa.Table]:
-    import ray
+    from .ops import gather_tables
 
-    return [ray.get(r) for r in ds.to_arrow_refs()]
+    return gather_tables(ds)

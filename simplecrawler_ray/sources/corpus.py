@@ -101,6 +101,56 @@ class CorpusReader:
         return {c: t.column(c)[idx].as_py() for c in t.column_names}
 
 
+_READER_CACHE: dict = {}
+_INDEX_CACHE: dict = {}
+
+
+class BroadcastCorpus:
+    """Object-store-broadcast corpus: each bucket table is ``ray.put``
+    once (driver), workers ``ray.get`` it zero-copy from shared memory.
+
+    The right pattern when the corpus fits the cluster's object store
+    (Arrow tables are mmapped, NOT copied per worker).  For corpora
+    beyond object-store capacity use the parquet ``CorpusReader`` path
+    with wave-partitioning by bucket so each task touches few buckets.
+    """
+
+    def __init__(self, bucket_refs: dict, n_buckets: int):
+        self.bucket_refs = bucket_refs
+        self.n_buckets = n_buckets
+
+    @classmethod
+    def from_dir(cls, corpus_dir: str, n_buckets: int) -> "BroadcastCorpus":
+        import ray
+
+        refs = {}
+        for b in range(n_buckets):
+            path = os.path.join(corpus_dir, f"bucket={b}")
+            if os.path.isdir(path):
+                refs[b] = ray.put(pq.read_table(path))
+        return cls(refs, n_buckets)
+
+    def lookup(self, url: str) -> Optional[dict]:
+        import ray
+
+        b = url_hash64(url) % self.n_buckets
+        ref = self.bucket_refs.get(b)
+        if ref is None:
+            return None
+        key = ref.hex()
+        cached = _INDEX_CACHE.get(key)
+        if cached is None:
+            t = ray.get(ref)  # zero-copy shared-memory read
+            index = {u: i for i, u in enumerate(t.column("image_id").to_pylist())}
+            cached = (t, index)
+            _INDEX_CACHE[key] = cached
+        t, index = cached
+        i = index.get(url)
+        if i is None:
+            return None
+        return {c: t.column(c)[i].as_py() for c in t.column_names}
+
+
 class CorpusWeb:
     """A SyntheticWeb backed by the materialized corpus table: fetching a
     page URL returns its caption as the body (link discovery parses it)
@@ -111,22 +161,39 @@ class CorpusWeb:
     only (dir, params) serialize.
     """
 
-    def __init__(self, corpus_dir: str, n_buckets: int = 16):
+    def __init__(self, corpus_dir: str, n_buckets: int = 16,
+                 max_cached_buckets: int = 4, broadcast: bool = False):
         self.dir = corpus_dir
         self.n_buckets = n_buckets
+        self.max_cached_buckets = max_cached_buckets
         self._reader: Optional[CorpusReader] = None
+        self._broadcast: Optional[BroadcastCorpus] = None
+        if broadcast:
+            self._broadcast = BroadcastCorpus.from_dir(corpus_dir, n_buckets)
 
     def __getstate__(self):
-        return {"dir": self.dir, "n_buckets": self.n_buckets}
+        return {"dir": self.dir, "n_buckets": self.n_buckets,
+                "max_cached_buckets": self.max_cached_buckets,
+                "_broadcast": self._broadcast}
 
     def __setstate__(self, state):
         self.dir = state["dir"]
         self.n_buckets = state["n_buckets"]
+        self.max_cached_buckets = state.get("max_cached_buckets", 4)
+        self._broadcast = state.get("_broadcast")
         self._reader = None
 
     def _r(self) -> CorpusReader:
         if self._reader is None:
-            self._reader = CorpusReader(self.dir, self.n_buckets)
+            # process-wide cache keyed by corpus dir: bucket tables load
+            # once per worker process, across engine instances / re-puts
+            key = (self.dir, self.n_buckets)
+            r = _READER_CACHE.get(key)
+            if r is None or r.max_cached < self.max_cached_buckets:
+                r = CorpusReader(self.dir, self.n_buckets, self.max_cached_buckets)
+                _READER_CACHE.clear()
+                _READER_CACHE[key] = r
+            self._reader = r
         return self._reader
 
     def get(self, url: str, request_headers: Optional[dict] = None) -> Optional[WebResponse]:
@@ -135,10 +202,14 @@ class CorpusWeb:
         u = Uri.parse(url)
         if u.path == "/robots.txt":
             return _resp(200, "User-agent: *\nDisallow:\n", "text/plain")
-        row = self._r().lookup(url)
+        src = self._broadcast if self._broadcast is not None else self._r()
+        row = src.lookup(url)
         if row is None:
             return _resp(404, "Page not found.")
-        return _resp(200, row["caption"])
+        # image+caption pair: body = image payload, caption = link text
+        return WebResponse(200, row["bytes"], f"image/{row['fmt']}", {},
+                           caption=row["caption"])
 
     def image(self, url: str) -> Optional[dict]:
-        return self._r().lookup(url)
+        src = self._broadcast if self._broadcast is not None else self._r()
+        return src.lookup(url)

@@ -49,6 +49,9 @@ class WebResponse:
     body: bytes = b""
     content_type: str = "text/html"
     headers: dict = field(default_factory=dict)  # Location, Set-Cookie, Content-Encoding, ETag, ...
+    # image+caption pages (the corpus model): body = image payload,
+    # caption = the text the crawler parses for out-links
+    caption: Optional[str] = None
 
     @property
     def content_length(self) -> int:
@@ -223,14 +226,20 @@ class ScaleWeb:
     host 0 is the hot host) — exercises host-bucket salting (SURVEY §4).
     """
 
+    _VOCAB = ("the data web page image crawl link index fetch queue host robot "
+              "frontier batch arrow shard caption corpus model train scale "
+              "stream block store spill merge round depth hash filter bloom").split()
+
     def __init__(self, n_pages: int, n_hosts: int = 64, out_degree: int = 4,
-                 seed: int = 42, skew: float = 2.0, image_side: int = 24):
+                 seed: int = 42, skew: float = 2.0, image_side: int = 24,
+                 caption_words: int = 0):
         self.n_pages = n_pages
         self.n_hosts = n_hosts
         self.out_degree = out_degree
         self.seed = seed
         self.skew = skew
         self.image_side = image_side
+        self.caption_words = caption_words  # filler text: realistic page sizes
 
     def host_of(self, i: int) -> int:
         u = int(_splitmix64(np.uint64(i * 2 + self.seed))) / 2**64
@@ -264,7 +273,12 @@ class ScaleWeb:
 
     def caption_of(self, i: int) -> str:
         links = "".join(f"<a href='{u}'>l{k}</a> " for k, u in enumerate(self.out_links(i)))
-        return f"<html><body>Page {i}. {links}</body></html>"
+        filler = ""
+        if self.caption_words:
+            w = _splitmix64(np.arange(self.caption_words, dtype=np.uint64)
+                            + np.uint64(i * 104729 + self.seed))
+            filler = " ".join(self._VOCAB[int(x) % len(self._VOCAB)] for x in w)
+        return f"<html><body>Page {i}. {links}<p>{filler}</p></body></html>"
 
     def pixels_of(self, i: int) -> np.ndarray:
         s = self.image_side

@@ -154,6 +154,9 @@ class Fetcher:
         self.store_body = cfg.get("store_body", True)
         self.download_conditions = cfg.get("download_conditions") or []
         self.accept_cookies = cfg.get("accept_cookies", True)
+        # decode fetched image payloads and perceptual-hash them (the
+        # north-rule pixel-fidelity path; costs one DCT per row)
+        self.phash_fetched = cfg.get("phash_fetched", False)
 
     def _request_headers(self, url: str, host: str, path: str) -> dict:
         headers = {}
@@ -189,6 +192,7 @@ class Fetcher:
         image_ids: list[Optional[str]] = [None] * n
         dispositions = [""] * n
         error_flags = [""] * n   # side events (cookieerror, gziperror)
+        phashes: list[Optional[int]] = [None] * n
         locations = [""] * n
         discovered: list[list[str]] = [[] for _ in range(n)]
         mime_ok = [False] * n
@@ -278,7 +282,21 @@ class Fetcher:
                 dispositions[i] = "fetchcomplete"
                 if self.store_body:
                     bodies[i] = body
-                text = decode_body(data, ct)
+                if resp.caption is not None:
+                    # image+caption page (corpus model): caption is the
+                    # parse target; body is the image payload
+                    text = resp.caption
+                    mime_supported = True
+                    mime_ok[i] = True
+                    if self.phash_fetched and body:
+                        from ..functions.imagecodec import decode_image, phash64
+
+                        try:
+                            phashes[i] = phash64(decode_image(body))
+                        except (ValueError, NotImplementedError):
+                            pass
+                else:
+                    text = decode_body(data, ct)
                 captions[i] = text
                 image_ids[i] = url
                 if self.discover_enabled and mime_supported:
@@ -334,6 +352,7 @@ class Fetcher:
             "location": pa.array(locations, pa.string()),
             "discovered": pa.array(discovered, pa.list_(pa.string())),
             "mime_supported": pa.array(mime_ok, pa.bool_()),
+            "phash": pa.array(phashes, pa.int64()),
         }
         for name, arr in cols.items():
             out = out.append_column(name, arr)

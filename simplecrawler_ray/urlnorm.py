@@ -34,6 +34,10 @@ _RE_QUOTED = re.compile(r"^(['\"])(.*)\1$")
 _RE_URLFUNC = re.compile(r"^url\((.*)\)", re.I)
 _RE_JS = re.compile(r"^javascript:\s*(\w*\(['\"](.*)['\"]\))*.*", re.I)
 _RE_PAREN = re.compile(r"^\((.*)\)$")
+_RE_AMP = re.compile(r"&amp;", re.I)
+_RE_E38 = re.compile(r"&#38;", re.I)
+_RE_EX26 = re.compile(r"&#x00026;", re.I)
+_RE_EX2F = re.compile(r"&#x2f;", re.I)
 
 
 def clean_url(url: str, referrer_protocol: Optional[str] = None) -> str:
@@ -59,10 +63,11 @@ def clean_url(url: str, referrer_protocol: Optional[str] = None) -> str:
     if s.startswith("//"):
         proto = referrer_protocol if referrer_protocol is not None else "undefined"
         s = proto + "://" + s[2:]
-    s = re.sub(r"&amp;", "&", s, flags=re.I)
-    s = re.sub(r"&#38;", "&", s, flags=re.I)
-    s = re.sub(r"&#x00026;", "&", s, flags=re.I)
-    s = re.sub(r"&#x2f;", "/", s, flags=re.I)
+    if "&" in s:
+        s = _RE_AMP.sub("&", s)
+        s = _RE_E38.sub("&", s)
+        s = _RE_EX26.sub("&", s)
+        s = _RE_EX2F.sub("/", s)
     s = s.split("#", 1)[0]
     return s.strip()
 
@@ -385,11 +390,22 @@ class Uri:
             self.fragment = None
         return self
 
+    # chars that survive recode unchanged (unreserved + path-unescape set)
+    _FAST_PATH_RE = re.compile(r"^[A-Za-z0-9\-._~$&+,;=:@/]*$")
+    _DOTSEG_RE = re.compile(r"(^|/)\.\.?(/|$)")
+
     def _normalize_path(self) -> None:
         path = self.path
         if not path or path == "/":
             return
         if self.urn:
+            return
+        # fast path: recode is identity and no dot-segments / dup slashes
+        if (
+            "//" not in path
+            and not self._DOTSEG_RE.search(path)
+            and self._FAST_PATH_RE.match(path)
+        ):
             return
         path = _recode_path(path)
         was_relative = False
@@ -493,20 +509,24 @@ ALLOWED_PROTOCOLS = [
 ]
 
 
-def protocol_supported(url: str, allowed=None) -> bool:
-    """protocolSupported src/crawler.ts:708-725."""
-    allowed = allowed if allowed is not None else ALLOWED_PROTOCOLS
-    try:
-        proto = Uri.parse(url).protocol or "http"
-    except Exception:
-        return False
-    for check in allowed:
+def protocol_ok(proto: str, allowed=None) -> bool:
+    """Allowlist check on an already-extracted protocol."""
+    for check in (allowed if allowed is not None else ALLOWED_PROTOCOLS):
         if hasattr(check, "match"):
             if check.match(proto):
                 return True
         elif check == proto:
             return True
     return False
+
+
+def protocol_supported(url: str, allowed=None) -> bool:
+    """protocolSupported src/crawler.ts:708-725."""
+    try:
+        proto = Uri.parse(url).protocol or "http"
+    except Exception:
+        return False
+    return protocol_ok(proto, allowed)
 
 
 def domain_valid(host: str, crawl_host: str, *, filter_by_domain: bool = True,
