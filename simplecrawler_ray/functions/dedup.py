@@ -101,16 +101,23 @@ class MinHasher:
 
 def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.7, id_col: str = "doc_id",
-                      seed: int = 42) -> pa.Table:
-    """Near-dup candidate pairs via banded LSH, verified by signature
-    Jaccard estimate.  Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+                      seed: int = 42, verify: bool = True) -> pa.Table:
+    """Near-dup pairs via banded LSH.  Returns (id_a, id_b, jaccard),
+    id_a < id_b, exact shingle-Jaccard verified.
+
+    Shuffle discipline: band rows are THIN (id, band, band_hash) — the
+    64-element signatures never shuffle (16x row duplication of the sig
+    otherwise).  Candidate pairs from the bucket groupby are verified
+    against a broadcast of the doc texts; at corpus sizes beyond
+    broadcast capacity swap the verify stage for a hash-join of
+    signatures by id.
     """
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         sigs = batch.column("minhash").to_pylist()
-        out_id, out_band, out_bh, out_sig = [], [], [], []
+        out_id, out_band, out_bh = [], [], []
         for i, sig in zip(ids, sigs):
             s = np.asarray(sig, dtype=np.uint64)
             for b in range(bands):
@@ -118,12 +125,10 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                 out_id.append(i)
                 out_band.append(b)
                 out_bh.append(_stable_hash64(chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF)
-                out_sig.append(list(map(int, s)))
         return pa.table({
             id_col: pa.array(out_id, pa.int64()),
             "band": pa.array(out_band, pa.int32()),
             "band_hash": pa.array(out_bh, pa.int64()),
-            "minhash": pa.array(out_sig, pa.list_(pa.uint64())),
         })
 
     banded = ds.map_batches(MinHasher, fn_constructor_args=(num_perm, seed),
@@ -133,33 +138,64 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = group.sort_values(id_col).drop_duplicates(subset=[id_col])
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
         ids = g[id_col].to_numpy()
-        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in g["minhash"]])
-        out_a, out_b, out_j = [], [], []
-        for x in range(len(ids)):
-            eq = (sigs[x + 1:] == sigs[x]).mean(axis=1)
-            for off, j in enumerate(eq):
-                if j >= jaccard_threshold:
-                    out_a.append(int(ids[x]))
-                    out_b.append(int(ids[x + 1 + off]))
-                    out_j.append(float(j))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
     from ..ops import gather_tables
 
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
     tables = gather_tables(pairs)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
     if not tables:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "est_jaccard": pa.array([], pa.float64())})
-    merged = pa.concat_tables(tables, promote_options="default").to_pandas()
-    merged = merged.drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"])
-    return pa.Table.from_pandas(merged, preserve_index=False)
+        return empty
+    cand = (pa.concat_tables(tables, promote_options="default").to_pandas()
+            .drop_duplicates(subset=["id_a", "id_b"]))
+    if not verify:
+        cand["jaccard"] = float("nan")
+        cand = cand.sort_values(["id_a", "id_b"])
+        return pa.Table.from_pandas(cand, preserve_index=False)
+
+    # exact verify: broadcast the doc texts, check candidate pairs per batch
+    shingle_k = 3
+    texts_ref = ray.put({
+        r[id_col]: (r["text"] or "") for t in gather_tables(
+            ds.map_batches(lambda b: b.select([id_col, "text"]),
+                           batch_format="pyarrow", zero_copy_batch=True))
+        for r in t.to_pylist()
+    })
+
+    def verify_batch(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        cache: dict[int, set] = {}
+
+        def sh(i):
+            if i not in cache:
+                cache[i] = _shingles(texts.get(i, ""), shingle_k)
+            return cache[i]
+
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        jac = [ngram_jaccard_sets(sh(x), sh(y)) for x, y in zip(a, b)]
+        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        return out.filter(pa.compute.greater_equal(out.column("jaccard"),
+                                                   jaccard_threshold))
+
+    cand_ds = rd.from_arrow(pa.Table.from_pandas(cand, preserve_index=False))
+    verified = gather_tables(cand_ds.map_batches(
+        verify_batch, batch_format="pyarrow", zero_copy_batch=True))
+    if not verified:
+        return empty
+    out = pa.concat_tables(verified, promote_options="default").to_pandas()
+    out = out.sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # ---------------------------------------------------------------- simhash
@@ -195,13 +231,16 @@ class SimHasher:
         return batch.append_column("simhash", pa.array(out, pa.int64()))
 
 
-def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
-    sa, sb = _shingles(a, k), _shingles(b, k)
+def ngram_jaccard_sets(sa: set, sb: set) -> float:
     if not sa and not sb:
         return 1.0
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    return ngram_jaccard_sets(_shingles(a, k), _shingles(b, k))
 
 
 # ------------------------------------------------------------ embeddings

@@ -103,6 +103,12 @@ DEFAULT_CONFIG = dict(
     fetcher_concurrency=4,
     checkpoint_dir=None,
     phash_fetched=False,
+    user_agent="simplecrawler-ray/1.0",
+    decompress_responses=True,
+    needs_auth=False,
+    auth_user=None,
+    auth_pass=None,
+    custom_headers=None,
 )
 
 

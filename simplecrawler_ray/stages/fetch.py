@@ -158,12 +158,29 @@ class Fetcher:
         # north-rule pixel-fidelity path; costs one DCT per row)
         self.phash_fetched = cfg.get("phash_fetched", False)
 
-    def _request_headers(self, url: str, host: str, path: str) -> dict:
-        headers = {}
+    def _request_headers(self, url: str, host: str, path: str, referrer: str = "") -> dict:
+        """getRequestOptions parity (src/crawler.ts:748-836): UA/Accept,
+        Referer, cookie header from the jar, conditional-GET validators,
+        basic auth, custom headers.  (Proxy rewrite n/a: the synthetic
+        web has no transport layer to proxy.)"""
+        cfg = self.cfg
+        headers = {
+            "user-agent": cfg.get("user_agent", "simplecrawler-ray/1.0"),
+            "accept": "*/*",
+        }
+        if referrer:
+            headers["referer"] = referrer
+        if cfg.get("decompress_responses", True):
+            headers["accept-encoding"] = "gzip, deflate"
         if self.accept_cookies:
             cookies = self.jar.get_as_header(host, path)
             if cookies:
                 headers["cookie"] = "; ".join(cookies)
+        if cfg.get("needs_auth"):
+            import base64
+
+            cred = f"{cfg.get('auth_user', '')}:{cfg.get('auth_pass', '')}"
+            headers["authorization"] = "Basic " + base64.b64encode(cred.encode()).decode()
         cached = self.cache.get(url)
         if cached:
             etag, lastmod = cached
@@ -171,6 +188,7 @@ class Fetcher:
                 headers["if-none-match"] = etag
             if lastmod:
                 headers["if-modified-since"] = lastmod
+        headers.update({k.lower(): v for k, v in (cfg.get("custom_headers") or {}).items()})
         return headers
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -178,6 +196,8 @@ class Fetcher:
         urls = batch.column("url").to_pylist()
         hosts = batch.column("host").to_pylist()
         paths = batch.column("path").to_pylist()
+        referrers = (batch.column("referrer").to_pylist()
+                     if "referrer" in batch.column_names else [""] * n)
 
         status = [STATUS_SPOOLED] * n
         fetched = [False] * n
@@ -199,7 +219,8 @@ class Fetcher:
         latency = [0] * n
 
         for i, url in enumerate(urls):
-            resp = self.web.get(url, self._request_headers(url, hosts[i], paths[i]))
+            resp = self.web.get(
+                url, self._request_headers(url, hosts[i], paths[i], referrers[i]))
             if resp is None:  # route never responds => timeout
                 status[i] = STATUS_TIMEOUT
                 fetched[i] = True
