@@ -207,7 +207,79 @@ def _q_embed_knn(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _q_supplier_sort(sf_dir: str):
+    """Full distributed sort (ray.data native sort operator)."""
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_acctbal"])
+    df = ds.sort(["s_acctbal", "s_suppkey"], descending=[True, False]).to_pandas()
+    return _round_floats(df.reset_index(drop=True))
+
+
+def _q_lineitem_monthly(sf_dir: str):
+    """Calendar-month tumbling window (floor_temporal month unit)."""
+    import pyarrow.compute as pc
+
+    from simplecrawler_ray.ops import groupby_agg
+
+    ds = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_quantity"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ship_month", pc.floor_temporal(t.column("l_shipdate"), unit="month"))
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    out = groupby_agg(ds, ["ship_month"],
+                      {"sum_qty": ("sum", "l_quantity"),
+                       "n_items": ("count", "l_quantity")})
+    return _round_floats(out.to_pandas().sort_values("ship_month").reset_index(drop=True))
+
+
+def _q_events_high_value(sf_dir: str):
+    """Vectorized filter + grouped count."""
+    import pyarrow.compute as pc
+
+    from simplecrawler_ray.ops import groupby_agg
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t.column("value"), 50.0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = groupby_agg(ds, ["event_type"], {"n": ("count", "value"),
+                                           "sum_value": ("sum", "value")})
+    return _round_floats(out.to_pandas().sort_values("event_type").reset_index(drop=True))
+
+
+def _q_docs_row_number(sf_dir: str):
+    """zip_with_index over a sorted dataset == ROW_NUMBER() OVER (ORDER BY)."""
+    from simplecrawler_ray.ops import zip_with_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]).sort("doc_id")
+    out = zip_with_index(ds, col="rid", start=0).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ----- rows-only (non-SQL-expressible) --------------------------------------
+
+
+def _q_image_decode_stats(sf_dir: str):
+    """Multimodal stage over a deterministic image corpus (rows-only:
+    no images in the sf tables; the corpus is the input_hint table)."""
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.multimodal import ImageDecodeStage
+    from simplecrawler_ray.sources.web import ScaleWeb
+
+    sw = ScaleWeb(n_pages=200, n_hosts=8, image_side=24)
+    rows = [sw.corpus_row(i) for i in range(200)]
+    t = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+    })
+    ds = rd.from_arrow([t.slice(o, 50) for o in range(0, 200, 50)])
+    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                         batch_size=50, concurrency=2).to_pandas()
+    out = out[["image_id", "img_w", "img_h", "phash", "phash_decoded", "decode_error"]]
+    return out.sort_values("image_id").reset_index(drop=True)
 
 def _q_crawl_conformance(sf_dir: str):
     from simplecrawler_ray.pipelines.crawl import CrawlEngine
@@ -308,7 +380,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_token_stats": _q_docs_token_stats,
         "q_docs_quality": _q_docs_quality,
         "q_embed_knn": _q_embed_knn,
+        "q_supplier_sort": _q_supplier_sort,
+        "q_lineitem_monthly": _q_lineitem_monthly,
+        "q_events_high_value": _q_events_high_value,
+        "q_docs_row_number": _q_docs_row_number,
         # rows-only checks
+        "q_image_decode_stats": _q_image_decode_stats,
         "crawl_conformance": _q_crawl_conformance,
         "crawl_scaleweb": _q_crawl_scaleweb,
         "q_docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -421,5 +498,32 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cos DESC, vec_id
             LIMIT 20
+        """,
+        "q_supplier_sort": """
+            SELECT s_suppkey, s_name, ROUND(s_acctbal, 6) AS s_acctbal
+            FROM supplier
+            ORDER BY s_acctbal DESC, s_suppkey
+        """,
+        "q_lineitem_monthly": """
+            SELECT date_trunc('month', l_shipdate) AS ship_month,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            GROUP BY 1
+            ORDER BY ship_month
+        """,
+        "q_events_high_value": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events
+            WHERE value > 50.0
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "q_docs_row_number": """
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid
+            FROM documents
+            ORDER BY doc_id
         """,
     }

@@ -69,6 +69,20 @@ def _shingles(text: str, k: int = 3) -> set[int]:
     return {_stable_hash64(" ".join(toks[i: i + k])) for i in range(len(toks) - k + 1)}
 
 
+_MINHASHER_CACHE: dict = {}
+
+
+def minhasher_udf(batch: pa.Table, *, num_perm: int = 64, seed: int = 42) -> pa.Table:
+    """Task UDF with worker-local MinHasher cache (cheaper than spinning
+    an actor pool per invocation; see stages/fetch.py rationale)."""
+    key = (num_perm, seed)
+    h = _MINHASHER_CACHE.get(key)
+    if h is None:
+        h = MinHasher(num_perm, seed)
+        _MINHASHER_CACHE[key] = h
+    return h(batch)
+
+
 class MinHasher:
     """Stateful stage: permutation parameters generated once per worker."""
 
@@ -131,9 +145,9 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
             "band_hash": pa.array(out_bh, pa.int64()),
         })
 
-    banded = ds.map_batches(MinHasher, fn_constructor_args=(num_perm, seed),
-                            batch_format="pyarrow", concurrency=(2, 8),
-                            batch_size=1024,
+    banded = ds.map_batches(minhasher_udf,
+                            fn_kwargs=dict(num_perm=num_perm, seed=seed),
+                            batch_format="pyarrow", batch_size=512,
                             zero_copy_batch=True).map_batches(
         to_bands, batch_format="pyarrow", zero_copy_batch=True)
 

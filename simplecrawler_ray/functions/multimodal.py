@@ -1,0 +1,179 @@
+"""Multimodal column operators: image / audio / video payloads as
+opaque ``binary`` columns with typed metadata, processed by actor-pool
+``map_batches`` stages.
+
+Real where the container allows (images: pure-numpy PNG/FJPG codec),
+STUBBED where it doesn't (real JPEG, audio, video — no codec libraries
+exist here): the decode step raises ``NotImplementedError`` or
+substitutes a clearly-marked deterministic fake, while the Ray-side
+plumbing — schema, batch sizing, actor signature, output layout — is
+real and tested, so swapping in a real codec on a production cluster
+is a one-function change.
+
+Batch-size guidance: payload columns are wide — size ``batch_size`` so
+``batch_size x payload x concurrency`` fits worker heap (e.g. 16 MiB
+images => batch_size 64-256, per the memory-aware rule).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .imagecodec import decode_image, encode_image, phash64
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: binary image column -> decoded metadata +
+    features (dims, mean RGB, phash).  Real for PNG/FJPG; real JPEG
+    raises NotImplementedError inside and is reported per-row in
+    ``decode_error`` instead of failing the batch."""
+
+    def __init__(self, bytes_col: str = "bytes"):
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col).to_pylist()
+        n = len(blobs)
+        w = [0] * n
+        h = [0] * n
+        mean_r = [0.0] * n
+        mean_g = [0.0] * n
+        mean_b = [0.0] * n
+        ph = [0] * n
+        err = [""] * n
+        for i, blob in enumerate(blobs):
+            if not blob:
+                err[i] = "empty"
+                continue
+            try:
+                arr = decode_image(blob)
+            except NotImplementedError as e:
+                err[i] = f"stubbed: {e}"
+                continue
+            except ValueError as e:
+                err[i] = str(e)
+                continue
+            h[i], w[i] = arr.shape[:2]
+            means = arr.reshape(-1, 3).mean(axis=0)
+            mean_r[i], mean_g[i], mean_b[i] = map(float, means)
+            ph[i] = phash64(arr)
+        out = batch
+        for name, arr_, typ in [
+            ("img_w", w, pa.int32()), ("img_h", h, pa.int32()),
+            ("mean_r", mean_r, pa.float64()), ("mean_g", mean_g, pa.float64()),
+            ("mean_b", mean_b, pa.float64()), ("phash_decoded", ph, pa.int64()),
+            ("decode_error", err, pa.string()),
+        ]:
+            out = out.append_column(name, pa.array(arr_, typ))
+        return out
+
+
+class ImageResizeStage:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> re-encode.
+    Fully real (numpy); demonstrates a payload-rewriting transform."""
+
+    def __init__(self, side: int = 16, fmt: str = "png", bytes_col: str = "bytes"):
+        self.side = side
+        self.fmt = fmt
+        self.bytes_col = bytes_col
+
+    def _resize(self, arr: np.ndarray) -> np.ndarray:
+        h, w = arr.shape[:2]
+        ys = np.minimum((np.arange(self.side) * h) // self.side, h - 1)
+        xs = np.minimum((np.arange(self.side) * w) // self.side, w - 1)
+        return arr[ys][:, xs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col).to_pylist()
+        out_blobs: list[Optional[bytes]] = [None] * len(blobs)
+        for i, blob in enumerate(blobs):
+            if not blob:
+                continue
+            try:
+                out_blobs[i] = encode_image(self._resize(decode_image(blob)), self.fmt)
+            except (ValueError, NotImplementedError):
+                pass
+        return batch.append_column("resized_bytes", pa.array(out_blobs, pa.binary()))
+
+
+# ------------------------------------------------------------ audio (STUB)
+
+def _fake_pcm(blob: bytes, n_samples: int = 1024) -> np.ndarray:
+    """Deterministic STAND-IN for audio decode: derive a pseudo-PCM
+    waveform from the payload hash.  NOT a real codec — the container
+    has no audio libraries; swap for soundfile/librosa in production."""
+    seed = struct.unpack("<Q", hashlib.blake2b(blob, digest_size=8).digest())[0]
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(n_samples).astype(np.float32)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: audio binary -> (rms, zero-crossing-rate,
+    spectral centroid) via the deterministic fake decoder.  The feature
+    math (numpy FFT) is real; only the decode is stubbed."""
+
+    def __init__(self, bytes_col: str = "bytes", real_decode: bool = False):
+        self.bytes_col = bytes_col
+        self.real_decode = real_decode
+
+    def _decode(self, blob: bytes) -> np.ndarray:
+        if self.real_decode:
+            raise NotImplementedError(
+                "real audio decode requires an audio library not present "
+                "in this environment")
+        return _fake_pcm(blob)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col).to_pylist()
+        rms, zcr, cent = [], [], []
+        for blob in blobs:
+            pcm = self._decode(blob or b"")
+            rms.append(float(np.sqrt(np.mean(pcm**2))))
+            zcr.append(float(np.mean(np.abs(np.diff(np.sign(pcm))) > 0)))
+            spec = np.abs(np.fft.rfft(pcm))
+            freqs = np.arange(len(spec), dtype=np.float64)
+            cent.append(float((spec * freqs).sum() / max(spec.sum(), 1e-9)))
+        out = batch.append_column("audio_rms", pa.array(rms, pa.float64()))
+        out = out.append_column("audio_zcr", pa.array(zcr, pa.float64()))
+        out = out.append_column("audio_centroid", pa.array(cent, pa.float64()))
+        return out
+
+
+# ------------------------------------------------------------ video (STUB)
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: video binary -> K sampled "frames" (as PNG
+    bytes).  Frame extraction is a deterministic fake (hash-derived
+    pixel frames); a production deployment swaps ``_frames`` for a real
+    demuxer (pyav/ffmpeg).  Output layout (list<binary> frames +
+    frame_count) is the real contract downstream stages consume."""
+
+    def __init__(self, k: int = 3, side: int = 8, bytes_col: str = "bytes"):
+        self.k = k
+        self.side = side
+        self.bytes_col = bytes_col
+
+    def _frames(self, blob: bytes) -> list[np.ndarray]:
+        seed = struct.unpack("<Q", hashlib.blake2b(blob, digest_size=8).digest())[0]
+        rng = np.random.default_rng(seed)
+        return [
+            rng.integers(0, 256, (self.side, self.side, 3)).astype(np.uint8)
+            for _ in range(self.k)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column(self.bytes_col).to_pylist()
+        frames_col: list[list[bytes]] = []
+        counts = []
+        for blob in blobs:
+            frames = self._frames(blob or b"")
+            frames_col.append([encode_image(f, "png") for f in frames])
+            counts.append(len(frames))
+        out = batch.append_column(
+            "frames", pa.array(frames_col, pa.list_(pa.binary())))
+        return out.append_column("frame_count", pa.array(counts, pa.int32()))

@@ -157,8 +157,10 @@ def zip_with_index(ds: rd.Dataset, col: str = "row_id", start: int = 0) -> rd.Da
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + start
 
     @ray.remote
-    def stamp(block_ref_inner, off):
-        block = block_ref_inner
+    def stamp(block, off):
+        # blocks may be pyarrow Tables or pandas DataFrames
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
         arr = pa.array(np.arange(off, off + block.num_rows, dtype=np.int64))
         return block.append_column(col, arr)
 

@@ -278,6 +278,50 @@ def test_scaleweb_full_reachability():
     eng.seen.shutdown()
 
 
+def test_politeness_host_budget():
+    """host_budget_per_round=k: at most k URLs per host per round, FIFO
+    within host (the O1 politeness dequeue + T5 pacing semantics)."""
+    sw = ScaleWeb(n_pages=30, n_hosts=3, out_degree=2)
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, host_budget_per_round=2)
+    eng.seed_frontier([sw.url_of(i) for i in range(30)])
+    # drive rounds manually and inspect each wave
+    from simplecrawler_ray.robots import host_key
+
+    waves = []
+    while eng.round_no < 40:
+        wave = eng._dequeue_wave()
+        if wave.num_rows == 0:
+            break
+        hosts = [host_key(u) for u in wave.column("url").to_pylist()]
+        seqs = wave.column("seq").to_pylist()
+        per_host: dict = {}
+        for h, s in zip(hosts, seqs):
+            per_host.setdefault(h, []).append(s)
+        for h, ss in per_host.items():
+            assert len(ss) <= 2, f"budget violated for {h}"
+            assert ss == sorted(ss), "per-host FIFO violated"
+        waves.append(wave.num_rows)
+        eng.round_no += 1
+    assert sum(waves) == 30
+    assert len(waves) >= 30 // (3 * 2)  # at least ceil(n / hosts*budget) rounds
+    eng.seen.shutdown()
+
+
+def test_turbo_mode_fetches_everything(tmp_path):
+    sw = ScaleWeb(n_pages=50, n_hosts=4, out_degree=3)
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, batch_size=16)
+    out = eng.run_turbo(str(tmp_path / "sink"), max_rounds=60)
+    assert out["fetched"] == 50
+    import ray.data as rd
+
+    t = rd.read_parquet(str(tmp_path / "sink")).to_pandas()
+    assert t["url"].nunique() == 50
+    assert (t["status"] == "downloaded").all()
+    eng.seen.shutdown()
+
+
 def test_fetch_order_is_fifo(web):
     eng, res = run(web, SEED)
     t = res.fetched_table()

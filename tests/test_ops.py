@@ -1,0 +1,157 @@
+"""Direct unit tests for the generic relational operators (ops.py)
+and the multimodal stages — checked against pandas/duckdb locally."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from simplecrawler_ray.ops import (
+    broadcast_join,
+    distinct,
+    groupby_agg,
+    topk,
+    tumbling_window,
+    zip_with_index,
+)
+
+
+@pytest.fixture(scope="module")
+def sample_df():
+    rng = np.random.default_rng(7)
+    n = 5000
+    return pd.DataFrame({
+        "k": rng.integers(0, 10, n),
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": rng.normal(100, 20, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.integers(0, 86400 * 3, n), unit="s"),
+    })
+
+
+def test_groupby_agg_matches_pandas(sample_df):
+    ds = rd.from_pandas(sample_df).repartition(8)
+    out = groupby_agg(ds, ["g"], {
+        "total": ("sum", "v"), "n": ("count", "v"),
+        "mn": ("min", "v"), "mx": ("max", "v"), "avg": ("mean", "v"),
+    }).to_pandas().sort_values("g").reset_index(drop=True)
+    exp = sample_df.groupby("g")["v"].agg(
+        total="sum", n="count", mn="min", mx="max", avg="mean"
+    ).reset_index().sort_values("g").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["g", "total", "n", "mn", "mx", "avg"]], exp, check_dtype=False,
+        rtol=1e-9)
+
+
+def test_broadcast_join(sample_df):
+    dim = pd.DataFrame({"k": range(10), "label": [f"L{i}" for i in range(10)]})
+    ds = rd.from_pandas(sample_df).repartition(4)
+    out = broadcast_join(ds, dim, on="k").to_pandas()
+    assert len(out) == len(sample_df)
+    assert (out["label"] == "L" + out["k"].astype(str)).all()
+
+
+def test_topk(sample_df):
+    ds = rd.from_pandas(sample_df).repartition(8)
+    t = topk(ds, [("v", True), ("k", False)], 7)
+    exp = sample_df.sort_values(["v", "k"], ascending=[False, True]).head(7)
+    assert t.column("v").to_pylist() == exp["v"].tolist()
+
+
+def test_distinct(sample_df):
+    ds = rd.from_pandas(sample_df).repartition(8)
+    out = distinct(ds, ["g", "k"]).to_pandas()
+    exp = sample_df[["g", "k"]].drop_duplicates()
+    assert len(out) == len(exp)
+    assert set(map(tuple, out.values)) == set(map(tuple, exp.values))
+
+
+def test_zip_with_index(sample_df):
+    ds = rd.from_pandas(sample_df.head(1000)).repartition(7)
+    out = zip_with_index(ds, col="rid", start=100).to_pandas()
+    assert sorted(out["rid"]) == list(range(100, 1100))
+
+
+def test_tumbling_window(sample_df):
+    ds = rd.from_pandas(sample_df).repartition(4)
+    out = tumbling_window(ds, "ts", 3600, ["g"], {"n": ("count", "v"),
+                                                  "s": ("sum", "v")})
+    df = out.to_pandas()
+    con = duckdb.connect()
+    con.register("t", sample_df)
+    exp = con.execute("""
+        SELECT g, date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n, SUM(v) AS s
+        FROM t GROUP BY 1, 2""").df()
+    a = df.sort_values(["g", "window_start"]).reset_index(drop=True)
+    b = exp.sort_values(["g", "window_start"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert a["n"].tolist() == b["n"].tolist()
+    np.testing.assert_allclose(a["s"].to_numpy(dtype=float),
+                               b["s"].to_numpy(dtype=float), rtol=1e-9)
+
+
+# --------------------------------------------------------------- multimodal
+
+def test_image_decode_stage():
+    from simplecrawler_ray.functions.multimodal import ImageDecodeStage
+    from simplecrawler_ray.sources.web import ScaleWeb
+
+    sw = ScaleWeb(n_pages=10, image_side=24)
+    rows = [sw.corpus_row(i) for i in range(10)]
+    batch = pa.table({
+        "image_id": [r["image_id"] for r in rows],
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+    })
+    out = ImageDecodeStage()(batch)
+    assert out.column("img_w").to_pylist() == [24] * 10
+    assert out.column("decode_error").to_pylist() == [""] * 10
+    assert out.column("phash_decoded").to_pylist()[0] != 0
+    # real-JPEG stub path: reported per row, batch survives
+    jbatch = pa.table({"bytes": pa.array([b"\xff\xd8\xff\xe0xxxx"], pa.binary())})
+    jout = ImageDecodeStage()(jbatch)
+    assert jout.column("decode_error").to_pylist()[0].startswith("stubbed:")
+
+
+def test_image_resize_stage():
+    from simplecrawler_ray.functions.imagecodec import decode_image
+    from simplecrawler_ray.functions.multimodal import ImageResizeStage
+    from simplecrawler_ray.sources.web import ScaleWeb
+
+    sw = ScaleWeb(n_pages=4, image_side=24)
+    batch = pa.table({"bytes": pa.array([sw.corpus_row(i)["bytes"] for i in range(4)], pa.binary())})
+    out = ImageResizeStage(side=8)(batch)
+    dec = decode_image(out.column("resized_bytes").to_pylist()[0])
+    assert dec.shape == (8, 8, 3)
+
+
+def test_audio_video_stubs_run_in_ray():
+    """Stubbed decodes, real plumbing: the stages run as actual Ray Data
+    actor-pool stages over a binary column."""
+    from simplecrawler_ray.functions.multimodal import (
+        AudioFeatureStage,
+        VideoFrameSampleStage,
+    )
+
+    blobs = [bytes([i]) * 100 for i in range(20)]
+    ds = rd.from_arrow(pa.table({"bytes": pa.array(blobs, pa.binary())}))
+    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         batch_size=8, concurrency=2).materialize()
+    df = out.to_pandas()
+    assert (df["audio_rms"] > 0).all()
+    # determinism
+    df2 = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         batch_size=8, concurrency=2).to_pandas()
+    assert df["audio_rms"].tolist() == df2["audio_rms"].tolist()
+
+    vout = ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow",
+                          batch_size=8, concurrency=2).to_pandas()
+    assert (vout["frame_count"] == 3).all()
+
+    def real_decode_raises():
+        AudioFeatureStage(real_decode=True)(
+            pa.table({"bytes": pa.array([b"x"], pa.binary())}))
+
+    with pytest.raises(NotImplementedError):
+        real_decode_raises()
