@@ -275,7 +275,12 @@ class CrawlEngine:
 
     def _dequeue_wave(self) -> pa.Table:
         """Politeness dequeue (O1): per-host budget of the oldest queued
-        rows by seq; budget 0 => whole frontier wave."""
+        rows by seq; budget 0 => whole frontier wave.
+
+        Driver-side vectorized implementation (frontier fits one node in
+        this sandbox).  ``politeness_dequeue_ds`` is the same operator
+        over a Dataset with host-bucket salting — the multi-node path.
+        """
         q = self.queued
         budget = self.cfg["host_budget_per_round"]
         if q.num_rows == 0:

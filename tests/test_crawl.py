@@ -334,3 +334,32 @@ def test_fetch_order_is_fifo(web):
         "http://127.0.0.1:3000/stage2",
     ]
     eng.seen.shutdown()
+
+
+def test_politeness_dequeue_ds_salted():
+    """Dataset-shaped politeness dequeue with host salting: budget exact
+    per host, FIFO by seq, remainder preserved."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplecrawler_ray.stages.politeness import politeness_dequeue_ds
+
+    rows = []
+    seq = 0
+    for host, n in [("hot.test", 50), ("a.test", 3), ("b.test", 5)]:
+        for i in range(n):
+            rows.append({"seq": seq, "url": f"http://{host}/p/{i}", "host": host,
+                         "url_hash": seq * 7919 + 13})
+            seq += 1
+    t = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow([t.slice(o, 10) for o in range(0, t.num_rows, 10)])
+    wave, rest = politeness_dequeue_ds(ds, budget=4, hot_hosts={"hot.test": 4})
+    wdf = wave.to_pandas()
+    per_host = wdf.groupby("host")["seq"].apply(list).to_dict()
+    assert len(per_host.get("hot.test", [])) == 4
+    assert per_host["a.test"] == sorted(per_host["a.test"])
+    assert len(per_host["a.test"]) == 3  # under budget: all taken
+    assert len(per_host["b.test"]) == 4
+    assert wave.num_rows + rest.count() == 58
+    # hot host's taken rows are its 4 oldest within salted fairness caps
+    assert all(s < 50 for s in per_host["hot.test"])
