@@ -562,6 +562,9 @@ class CrawlEngine:
                     merged = pa.concat_tables(new_tables)
                     self.queued = (pa.concat_tables([self.queued, merged])
                                    if self.queued.num_rows else merged)
+            if self.cfg["checkpoint_dir"]:
+                with self._timed("checkpoint"):
+                    self._checkpoint_state()
             self.round_no += 1
         counters = ray.get(metrics_actor.get.remote())
         for k, v in counters.items():
@@ -570,6 +573,49 @@ class CrawlEngine:
         ray.kill(metrics_actor)
         return {"fetched": fetched_total, "rounds": self.round_no,
                 "metrics": dict(self.metrics), "sink_dir": sink_dir}
+
+    def _checkpoint_state(self) -> None:
+        """Turbo-mode checkpoint: queued frontier + counters only (the
+        fetched rows are already durably in the sink's round=N parts)."""
+        ckpt = self.cfg["checkpoint_dir"]
+        rdir = os.path.join(ckpt, f"state-round={self.round_no:05d}")
+        tmp = rdir + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(self.queued, os.path.join(tmp, "queued.parquet"))
+        with open(os.path.join(tmp, "metrics.json"), "w") as f:
+            json.dump({"round": self.round_no, "next_seq": self.next_seq,
+                       "first_request": self.first_request,
+                       "metrics": self.metrics,
+                       "host": self.cfg["host"]}, f)
+        os.replace(tmp, rdir)
+
+    @classmethod
+    def resume_turbo(cls, web, initial_url: str, checkpoint_dir: str,
+                     sink_dir: str, **options) -> "CrawlEngine":
+        """Resume a turbo crawl: reload the last queued frontier and
+        replay the seen-set from sink parquet + queued url_hash."""
+        import glob
+
+        eng = cls(web, initial_url, checkpoint_dir=checkpoint_dir, **options)
+        states = sorted(d for d in os.listdir(checkpoint_dir)
+                        if d.startswith("state-round="))
+        if not states:
+            return eng
+        last = os.path.join(checkpoint_dir, states[-1])
+        meta = json.load(open(os.path.join(last, "metrics.json")))
+        eng.round_no = meta["round"] + 1
+        eng.next_seq = meta["next_seq"]
+        eng.first_request = meta["first_request"]
+        eng.metrics = meta["metrics"]
+        eng.cfg["host"] = meta["host"]
+        eng.queued = pq.read_table(os.path.join(last, "queued.parquet"))
+        hashes = [eng.queued.column("url_hash").to_numpy(zero_copy_only=False)]
+        for part in glob.glob(os.path.join(sink_dir, "round=*", "*.parquet")):
+            hashes.append(
+                pq.read_table(part, columns=["url_hash"])
+                .column("url_hash").to_numpy(zero_copy_only=False))
+        eng.seen.add(np.concatenate(hashes).astype(np.uint64))
+        return eng
 
     def _checkpoint(self, fetched: pa.Table) -> None:
         ckpt = self.cfg["checkpoint_dir"]

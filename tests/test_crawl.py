@@ -363,3 +363,29 @@ def test_politeness_dequeue_ds_salted():
     assert wave.num_rows + rest.count() == 58
     # hot host's taken rows are its 4 oldest within salted fairness caps
     assert all(s < 50 for s in per_host["hot.test"])
+
+
+def test_turbo_checkpoint_resume(tmp_path):
+    sw = ScaleWeb(n_pages=60, n_hosts=4, out_degree=3)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(ckpt, exist_ok=True)
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, batch_size=16, checkpoint_dir=ckpt)
+    # run only 3 rounds, then "crash"
+    out1 = eng.run_turbo(sink, max_rounds=3)
+    assert out1["fetched"] < 60
+    eng.seen.shutdown()
+
+    eng2 = CrawlEngine.resume_turbo(sw, sw.url_of(0), ckpt, sink,
+                                    filter_by_domain=False, seen_shards=2,
+                                    store_body=False, batch_size=16)
+    out2 = eng2.run_turbo(sink, max_rounds=60)
+    import ray.data as rd
+
+    t = rd.read_parquet(sink).to_pandas()
+    assert t["url"].nunique() == 60          # everything fetched exactly...
+    assert len(t) == 60                      # ...once (clean resume point)
+    eng2.seen.shutdown()
