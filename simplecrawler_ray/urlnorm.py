@@ -316,9 +316,11 @@ class Uri:
     def _authority(self) -> str:
         t = ""
         if self.username:
-            t += _strict_encode(self.username)
+            # emit userinfo as parsed (encoding again would double-encode
+            # on re-parse; parse keeps the raw form)
+            t += self.username
             if self.password:
-                t += ":" + _strict_encode(self.password)
+                t += ":" + self.password
             t += "@"
         if self.hostname:
             t += self.hostname
