@@ -698,5 +698,32 @@ class CrawlResult:
         mask = pc.equal(t.column("status"), "downloaded")
         return t.filter(mask).column("url").to_pylist()
 
+    def events_table(self) -> pa.Table:
+        """The events-as-data view (§2.10): one row per emitted event
+        (disposition + error flags), replacing the reference's callback
+        event API with a queryable table."""
+        t = self.fetched_table()
+        urls, seqs, events, rounds = [], [], [], []
+        for u, s, disp, flags, rnd in zip(
+            t.column("url").to_pylist(), t.column("seq").to_pylist(),
+            t.column("disposition").to_pylist(),
+            t.column("error_flags").to_pylist() if "error_flags" in t.column_names
+            else [""] * t.num_rows,
+            t.column("round").to_pylist(),
+        ):
+            evs = [disp] if disp else []
+            evs += [f for f in (flags or "").split(",") if f]
+            for e in evs:
+                urls.append(u)
+                seqs.append(s)
+                events.append(e)
+                rounds.append(rnd)
+        return pa.table({
+            "seq": pa.array(seqs, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "event": pa.array(events, pa.string()),
+            "round": pa.array(rounds, pa.int32()),
+        })
+
     def shutdown(self):
         self.engine.seen.shutdown()

@@ -389,3 +389,13 @@ def test_turbo_checkpoint_resume(tmp_path):
     assert t["url"].nunique() == 60          # everything fetched exactly...
     assert len(t) == 60                      # ...once (clean resume point)
     eng2.seen.shutdown()
+
+
+def test_events_table(web):
+    eng, res = run(web, SEED)
+    ev = res.events_table().to_pandas()
+    counts = ev["event"].value_counts().to_dict()
+    assert counts.get("fetchcomplete") == res.metrics["fetchcomplete"]
+    assert counts.get("cookieerror") == 1
+    assert counts.get("fetchredirect") == 1
+    eng.seen.shutdown()
