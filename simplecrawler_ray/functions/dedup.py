@@ -115,7 +115,8 @@ class MinHasher:
 
 def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
                       jaccard_threshold: float = 0.7, id_col: str = "doc_id",
-                      seed: int = 42, verify: bool = True) -> pa.Table:
+                      seed: int = 42, verify: bool = True,
+                      small_threshold: int = 50_000) -> pa.Table:
     """Near-dup pairs via banded LSH.  Returns (id_a, id_b, jaccard),
     id_a < id_b, exact shingle-Jaccard verified.
 
@@ -127,6 +128,55 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
     signatures by id.
     """
     rows_per_band = num_perm // bands
+
+    from ..ops import gather_tables
+
+    # small-corpus fast path: below ~50k docs the five dataset
+    # executions of the distributed path cost more than the work —
+    # gather once, hash/bucket/verify in one distributed signature pass
+    # + driver bucketing.  The distributed path below is the shape that
+    # holds at 10^9 docs.
+    n_docs = ds.count()
+    if n_docs <= small_threshold:
+        sig_tables = gather_tables(ds.map_batches(
+            minhasher_udf, fn_kwargs=dict(num_perm=num_perm, seed=seed),
+            batch_format="pyarrow", batch_size=512, zero_copy_batch=True))
+        t = pa.concat_tables(sig_tables, promote_options="default")
+        ids = t.column(id_col).to_pylist()
+        texts = t.column("text").to_pylist() if "text" in t.column_names else [""] * len(ids)
+        sigs = t.column("minhash").to_pylist()
+        buckets: dict = {}
+        for i, sig in zip(ids, sigs):
+            s = np.asarray(sig, dtype=np.uint64)
+            for b in range(bands):
+                key = (b, _stable_hash64(s[b * rows_per_band:(b + 1) * rows_per_band].tobytes()))
+                buckets.setdefault(key, []).append(i)
+        cand_set = set()
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            ms = sorted(set(members))
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    cand_set.add((ms[x], ms[y]))
+        text_of = dict(zip(ids, texts))
+        sh_cache: dict = {}
+
+        def sh(i):
+            if i not in sh_cache:
+                sh_cache[i] = _shingles(text_of.get(i, ""), 3)
+            return sh_cache[i]
+
+        rows = []
+        for a, b in sorted(cand_set):
+            j = ngram_jaccard_sets(sh(a), sh(b)) if verify else float("nan")
+            if not verify or j >= jaccard_threshold:
+                rows.append((a, b, j))
+        return pa.table({
+            "id_a": pa.array([r[0] for r in rows], pa.int64()),
+            "id_b": pa.array([r[1] for r in rows], pa.int64()),
+            "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+        })
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()

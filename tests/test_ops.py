@@ -155,3 +155,15 @@ def test_audio_video_stubs_run_in_ray():
 
     with pytest.raises(NotImplementedError):
         real_decode_raises()
+def test_minhash_small_and_distributed_paths_agree(tmp_path):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from simplecrawler_ray.functions.dedup import minhash_lsh_pairs
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    small = minhash_lsh_pairs(ds, jaccard_threshold=0.5).to_pandas()
+    dist = minhash_lsh_pairs(ds, jaccard_threshold=0.5,
+                             small_threshold=0).to_pandas()
+    assert small[["id_a", "id_b"]].values.tolist() == dist[["id_a", "id_b"]].values.tolist()
