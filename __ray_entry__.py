@@ -207,6 +207,28 @@ def _q_embed_knn(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _q_priority_revenue(sf_dir: str):
+    """Both-sides-large partitioned hash join (orders x lineitem)."""
+    import pyarrow.compute as pc
+
+    from simplecrawler_ray.ops import groupby_agg, hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({"o_orderkey": t.column("l_orderkey"), "rev": rev})
+
+    li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(orders, li, on="o_orderkey", n_buckets=16)
+    out = groupby_agg(joined, ["o_orderpriority"],
+                      {"revenue": ("sum", "rev"), "n_items": ("count", "rev")})
+    return _round_floats(out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
+
+
 def _q_supplier_sort(sf_dir: str):
     """Full distributed sort (ray.data native sort operator)."""
     ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_acctbal"])
@@ -380,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_token_stats": _q_docs_token_stats,
         "q_docs_quality": _q_docs_quality,
         "q_embed_knn": _q_embed_knn,
+        "q_priority_revenue": _q_priority_revenue,
         "q_supplier_sort": _q_supplier_sort,
         "q_lineitem_monthly": _q_lineitem_monthly,
         "q_events_high_value": _q_events_high_value,
@@ -498,6 +521,14 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cos DESC, vec_id
             LIMIT 20
+        """,
+        "q_priority_revenue": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   COUNT(*) AS n_items
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "q_supplier_sort": """
             SELECT s_suppkey, s_name, ROUND(s_acctbal, 6) AS s_acctbal

@@ -106,6 +106,70 @@ def broadcast_join(ds: rd.Dataset, small: "pd.DataFrame|pa.Table", on: "str|list
     return ds.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hash_join(left: rd.Dataset, right: rd.Dataset, on: "str|list[str]",
+              n_buckets: int = 32, how: str = "inner") -> rd.Dataset:
+    """Partitioned hash join for two LARGE sides (ray_guide pattern):
+    add ``bucket = hash(key) % B`` to both sides, co-locate buckets with
+    one groupby each, merge matching buckets pairwise.  Use
+    ``broadcast_join`` when one side fits in memory; salt hot keys by
+    raising ``n_buckets``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch)
+        h = df.select(pl.concat_str([pl.col(k).cast(pl.Utf8) for k in keys],
+                                    separator="\x1f").alias("__k"))
+        bucket = (h["__k"].hash(seed=42) % n_buckets).cast(pl.Int32)
+        return batch.append_column("__bucket", bucket.to_arrow())
+
+    lb = left.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    rb = right.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    # co-locate each bucket of the right side once (grouped tables kept as
+    # object-store refs; a bucket's right side must fit a worker)
+    right_parts: dict[int, list] = {}
+    for t in gather_tables(rb):
+        df = t.to_pandas()
+        for b, g in df.groupby("__bucket"):
+            right_parts.setdefault(int(b), []).append(
+                ray.put(g.drop(columns="__bucket")))
+    right_refs = {b: refs for b, refs in right_parts.items()}
+
+    def join_left_group(group: pd.DataFrame) -> pd.DataFrame:
+        b = int(group["__bucket"].iloc[0])
+        refs = right_refs.get(b, [])
+        if not refs and how == "inner":
+            return group.head(0).drop(columns="__bucket")
+        rdfs = [ray.get(r) for r in refs]
+        rdf = pd.concat(rdfs) if rdfs else pd.DataFrame(columns=keys)
+        out = group.drop(columns="__bucket").merge(rdf, on=keys, how=how)
+        return out
+
+    return lb.groupby("__bucket").map_groups(join_left_group, batch_format="pandas")
+
+
+def asof_join(left: rd.Dataset, right_small: "pd.DataFrame", key: str,
+              ts_col: str, direction: str = "backward") -> rd.Dataset:
+    """As-of join: for each left row, the latest right row at or before
+    its timestamp (per key).  Right side broadcast; per-batch
+    ``pd.merge_asof`` (ray_guide pattern).  Assumes the right side is
+    sortable in memory; bucket both sides by key for two large sides.
+    """
+    right_sorted = right_small.sort_values(ts_col)
+    right_ref = ray.put(right_sorted)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        r = ray.get(right_ref)
+        df = batch.to_pandas().sort_values(ts_col)
+        out = pd.merge_asof(df, r, on=ts_col, by=key, direction=direction)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def topk(ds: rd.Dataset, sort_cols: list[tuple[str, bool]], k: int) -> pa.Table:
     """Global top-k: per-block local top-k -> tiny driver merge.
 

@@ -167,3 +167,40 @@ def test_minhash_small_and_distributed_paths_agree(tmp_path):
     dist = minhash_lsh_pairs(ds, jaccard_threshold=0.5,
                              small_threshold=0).to_pandas()
     assert small[["id_a", "id_b"]].values.tolist() == dist[["id_a", "id_b"]].values.tolist()
+
+
+def test_hash_join_matches_pandas(sample_df):
+    from simplecrawler_ray.ops import hash_join
+
+    left = sample_df[["k", "v"]].copy()
+    right = pd.DataFrame({"k": list(range(8)) * 2,
+                          "w": np.arange(16) * 1.5})
+    lds = rd.from_pandas(left).repartition(6)
+    rds = rd.from_pandas(right).repartition(3)
+    out = hash_join(lds, rds, on="k", n_buckets=4).to_pandas()
+    exp = left.merge(right, on="k", how="inner")
+    assert len(out) == len(exp)
+    assert out["v"].sum() == pytest.approx(exp["v"].sum())
+    assert out["w"].sum() == pytest.approx(exp["w"].sum())
+
+
+def test_asof_join():
+    from simplecrawler_ray.ops import asof_join
+
+    left = pd.DataFrame({
+        "key": ["a", "a", "b", "b"],
+        "ts": pd.to_datetime(["2024-01-01 10:05", "2024-01-01 10:20",
+                              "2024-01-01 10:07", "2024-01-01 09:00"]),
+    })
+    right = pd.DataFrame({
+        "key": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 10:10",
+                              "2024-01-01 10:00"]),
+        "px": [1.0, 2.0, 9.0],
+    })
+    out = asof_join(rd.from_pandas(left), right, key="key", ts_col="ts").to_pandas()
+    got = dict(zip(zip(out["key"], out["ts"].astype(str)), out["px"]))
+    assert got[("a", "2024-01-01 10:05:00")] == 1.0
+    assert got[("a", "2024-01-01 10:20:00")] == 2.0
+    assert got[("b", "2024-01-01 10:07:00")] == 9.0
+    assert np.isnan(got[("b", "2024-01-01 09:00:00")])
