@@ -86,6 +86,7 @@ DEFAULT_CONFIG = dict(
     strip_querystring=False,
     sort_query_parameters=False,
     strip_www_domain=False,
+    url_encoding="unicode",
     parse_html_comments=True,
     parse_script_tags=True,
     download_unsupported=True,

@@ -121,6 +121,7 @@ class CandidateProcessor:
             strip_querystring=cfg.get("strip_querystring", False),
             sort_query_parameters=cfg.get("sort_query_parameters", False),
             strip_www_domain=cfg.get("strip_www_domain", False),
+            url_encoding=cfg.get("url_encoding", "unicode"),
         )
         robots = ray.get(robots_ref) if isinstance(robots_ref, ray.ObjectRef) else robots_ref
         self.robots: dict[str, RobotsRules] = robots or {}

@@ -449,7 +449,34 @@ class CanonOpts:
     strip_querystring: bool = False
     sort_query_parameters: bool = False
     strip_www_domain: bool = False
-    url_encoding: str = "unicode"  # or "iso8859" (not implemented; ASCII corpus)
+    url_encoding: str = "unicode"  # or "iso8859" (urijs .iso8859())
+
+
+_JS_ESCAPE_SAFE = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789@*_+-./")
+
+
+def _to_iso8859(s: str) -> str:
+    """urijs iso8859() = escape(unescape(component)): decode UTF-8
+    %-escapes, re-encode with JS escape() semantics (latin-1 %XX,
+    %uXXXX beyond, [A-Za-z0-9@*_+-./] literal)."""
+    def enc(m):
+        try:
+            ch = _decode_uri_component(m.group(0))
+        except (ValueError, UnicodeDecodeError):
+            return m.group(0)
+        out = []
+        for c in ch:
+            o = ord(c)
+            if c in _JS_ESCAPE_SAFE:
+                out.append(c)
+            elif o < 256:
+                out.append("%%%02X" % o)
+            else:
+                out.append("%%u%04X" % o)
+        return "".join(out)
+
+    return re.sub(r"(?:%[0-9A-Fa-f]{2})+", enc, s)
 
 
 @dataclass
@@ -489,6 +516,10 @@ def process_url(url: str, referrer_url: str = "", referrer_depth: int = QUEUE_IT
         if opts.strip_www_domain and _RE_WWW.match(url):
             url = url.replace("www.", "", 1)
         new = Uri.parse(url).absolute_to(referrer_url).normalize()
+        if opts.url_encoding == "iso8859":
+            new.path = _to_iso8859(new.path)
+            if new.query:
+                new.query = _to_iso8859(new.query)
     except (ValueError, UnicodeDecodeError):
         return None
     return UrlRow(

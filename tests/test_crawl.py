@@ -399,3 +399,17 @@ def test_events_table(web):
     assert counts.get("cookieerror") == 1
     assert counts.get("fetchredirect") == 1
     eng.seen.shutdown()
+
+
+def test_conformance_mode_distributed_candidate_path():
+    """run() with a wave > 5000 fetched rows exercises the distributed
+    explode+canonicalize path (same UDFs as the driver path)."""
+    sw = ScaleWeb(n_pages=6000, n_hosts=8, out_degree=3)
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=4,
+                      store_body=False, batch_size=1024)
+    eng.seed_frontier([sw.url_of(i) for i in range(6000)])
+    res = eng.run(max_rounds=5)
+    assert len(res.downloaded_urls()) == 6000
+    assert res.metrics["queueadd"] == 6000
+    assert res.metrics.get("queueduplicate", 0) > 0  # discovered links are dups
+    eng.seen.shutdown()

@@ -103,3 +103,11 @@ def test_empty_path_gets_slash():
 def test_redirect_relative():
     r = process_url("/stage6", "http://127.0.0.1:3000/stage5")
     assert r.url == "http://127.0.0.1:3000/stage6"
+
+
+def test_iso8859_url_encoding():
+    # urijs .iso8859(): UTF-8 escapes re-encoded as latin-1 %XX
+    opts = CanonOpts(url_encoding="iso8859")
+    r = process_url("http://example.com/caf%C3%A9?x=%C3%A8", opts=opts)
+    assert r.uri_path == "/caf%E9"
+    assert r.path == "/caf%E9?x=%E8"
