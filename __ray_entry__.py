@@ -282,6 +282,85 @@ def _q_docs_row_number(sf_dir: str):
 # ----- rows-only (non-SQL-expressible) --------------------------------------
 
 
+def _q_crawl_fidelity(sf_dir: str):
+    """North-rule invariant as a pipeline: crawl the materialized
+    image+caption corpus, then verify every fetched row against the
+    corpus table — decoded pixels allclose (lossless) / PSNR>=40 dB
+    (lossy) + caption byte-equality.  Returns per-row verification
+    columns; 'ok' must be all-true."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.imagecodec import decode_image, psnr
+    from simplecrawler_ray.pipelines.crawl import CrawlEngine
+    from simplecrawler_ray.sources.corpus import CorpusWeb, build_corpus
+    from simplecrawler_ray.sources.web import ScaleWeb
+
+    sw = ScaleWeb(n_pages=120, n_hosts=4, out_degree=3, image_side=24)
+    cdir = tempfile.mkdtemp()
+    try:
+        build_corpus(sw, cdir, n_buckets=4, rows_per_block=40)
+        web = CorpusWeb(cdir, n_buckets=4, broadcast=True)
+        eng = CrawlEngine(web, sw.url_of(0), filter_by_domain=False,
+                          seen_shards=2, store_body=True)
+        res = eng.run(max_rounds=60)
+        fetched = res.fetched_table()
+        corpus = {}
+        for b in range(4):
+            ref = web._broadcast.bucket_refs.get(b)
+            if ref is not None:
+                t = ray.get(ref)
+                for r in t.to_pylist():
+                    corpus[r["image_id"]] = r
+
+        def verify(batch):
+            urls = batch.column("url").to_pylist()
+            bodies = batch.column("body").to_pylist()
+            caps = batch.column("caption").to_pylist()
+            out_psnr, cap_ok, ok = [], [], []
+            for u, body, cap in zip(urls, bodies, caps):
+                ref_row = corpus.get(u)
+                idx = sw._page_index(u)
+                if ref_row is None or body is None or idx is None or idx < 0:
+                    out_psnr.append(0.0)
+                    cap_ok.append(False)
+                    ok.append(False)
+                    continue
+                # the ground truth is the ORIGINAL pre-encode pixel array:
+                # lossless rows must decode exactly to it, lossy rows to
+                # PSNR >= 40 dB (the codec's true error, not a byte echo)
+                dec = decode_image(body)
+                ref_px = sw.pixels_of(idx)
+                if ref_row["fmt"] == "png":
+                    p = float("inf") if np.array_equal(dec, ref_px) else 0.0
+                else:
+                    p = psnr(ref_px, dec)
+                c = cap == ref_row["caption"]
+                out_psnr.append(min(p, 99.0))
+                cap_ok.append(c)
+                ok.append(c and p >= 40.0)
+            return pa.table({
+                "url": pa.array(urls, pa.string()),
+                "psnr": pa.array(out_psnr, pa.float64()),
+                "caption_ok": pa.array(cap_ok, pa.bool_()),
+                "ok": pa.array(ok, pa.bool_()),
+            })
+
+        downloaded = fetched.filter(
+            pa.compute.equal(fetched.column("status"), "downloaded"))
+        ver = rd.from_arrow(downloaded).map_batches(
+            verify, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        eng.seen.shutdown()
+        assert ver["ok"].all(), "fidelity invariant violated"
+        return ver.sort_values("url").reset_index(drop=True)
+    finally:
+        shutil.rmtree(cdir, ignore_errors=True)
+
+
 def _q_image_decode_stats(sf_dir: str):
     """Multimodal stage over a deterministic image corpus (rows-only:
     no images in the sf tables; the corpus is the input_hint table)."""
@@ -408,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_high_value": _q_events_high_value,
         "q_docs_row_number": _q_docs_row_number,
         # rows-only checks
+        "crawl_fidelity": _q_crawl_fidelity,
         "q_image_decode_stats": _q_image_decode_stats,
         "crawl_conformance": _q_crawl_conformance,
         "crawl_scaleweb": _q_crawl_scaleweb,

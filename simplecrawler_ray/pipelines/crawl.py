@@ -110,6 +110,7 @@ DEFAULT_CONFIG = dict(
     auth_user=None,
     auth_pass=None,
     custom_headers=None,
+    robots_pool_shards=0,   # >0: sharded RobotsShard actors fetch robots.txt
 )
 
 
@@ -141,6 +142,7 @@ class CrawlEngine:
         )
         self.robots_cache: dict[str, RobotsRules] = {}
         self.robots_errors: list[str] = []
+        self._robots_pool = None
         self.metrics: dict[str, int] = {}
         self.fetch_order: list[str] = []
         self.next_seq = 0
@@ -234,8 +236,33 @@ class CrawlEngine:
         return rows
 
     def _fetch_robots(self, hosts: set[str]) -> pa.Table | None:
-        """Fetch+parse robots.txt for new hosts (driver-side: one tiny GET
-        per host per crawl; hosts << URLs).  Returns sitemap candidates."""
+        """Fetch+parse robots.txt for new hosts.  Driver-side by default
+        (one tiny GET per host per crawl; hosts << URLs); with
+        ``robots_pool_shards`` > 0 the fetching itself is distributed
+        across RobotsShard actors (state/robots_pool.py, T2 scale path).
+        Returns sitemap candidates."""
+        if self.cfg["robots_pool_shards"]:
+            from ..state.robots_pool import RobotsPool
+
+            if self._robots_pool is None:
+                if self._web_ref is None:
+                    self._web_ref = ray.put(self.web)
+                self._robots_pool = RobotsPool(
+                    self._web_ref, self.cfg["robots_pool_shards"],
+                    self.cfg.get("user_agent", "*"))
+            new_hosts = [hk for hk in sorted(hosts) if hk not in self.robots_cache]
+            if not new_hosts:
+                return None
+            self.robots_cache.update(self._robots_pool.ensure(new_hosts))
+            for err in self._robots_pool.drain_errors():
+                self.robots_errors.append(err)
+                self._count("robotstxterror")
+            sitemap_cands = [
+                dict(candidate=sm, referrer_url=rurl, referrer_depth=0,
+                     parent_seq=-1, pos=0)
+                for rurl, sm in self._robots_pool.drain_sitemaps()
+            ]
+            return candidate_table(sitemap_cands) if sitemap_cands else None
         sitemap_cands = []
         for hk in sorted(hosts):
             if hk in self.robots_cache:

@@ -413,3 +413,14 @@ def test_conformance_mode_distributed_candidate_path():
     assert res.metrics["queueadd"] == 6000
     assert res.metrics.get("queueduplicate", 0) > 0  # discovered links are dups
     eng.seen.shutdown()
+
+
+def test_robots_actor_pool(web):
+    """T2 scale path: sharded RobotsShard actors fetch + serve rules."""
+    eng, res = run(web, SEED, robots_pool_shards=2)
+    t = res.fetched_table()
+    st = dict(zip(t.column("url").to_pylist(), t.column("status").to_pylist()))
+    assert "http://127.0.0.1:3000/forbidden" not in st
+    assert st["http://127.0.0.1:3000/sitemap.xml"] == "notfound"  # sitemap queued
+    eng._robots_pool.shutdown()
+    eng.seen.shutdown()
