@@ -134,8 +134,8 @@ def bench_queries() -> dict:
     qs = entrymod.queries()
     out = {}
     for name, fn in qs.items():
-        if name in ("crawl_conformance", "crawl_scaleweb"):
-            continue  # covered by the headline crawl
+        if name in ("crawl_conformance", "crawl_scaleweb", "crawl_fidelity"):
+            continue  # crawl pipelines are covered by the headline bench
         t0 = time.time()
         fn(SF_DIR)
         out[name] = round(time.time() - t0, 3)
