@@ -94,10 +94,19 @@ class RobotsRules:
             return False  # parse/fetch error => disallow (crawler.ts:694-697)
         u = Uri.parse(url)
         path = (u.path or "/") + (("?" + u.query) if u.query else "")
+        return self.is_allowed_path(path)
+
+    def is_allowed_path(self, pathq: str) -> bool:
+        """Same check on an already-extracted path(+query) — avoids a URL
+        re-parse in the per-candidate hot loop."""
+        if self.error:
+            return False
+        if not self._rules:
+            return True
         verdict = True
         best_len = -1
         for is_allow, plen, rx in self._rules:
-            if rx.match(path):
+            if rx.match(pathq or "/"):
                 if plen > best_len or (plen == best_len and is_allow and not verdict):
                     verdict, best_len = is_allow, plen
         return verdict

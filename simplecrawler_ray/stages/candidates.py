@@ -140,24 +140,40 @@ class CandidateProcessor:
         overrides = batch.column("depth_override").to_pylist()
 
         out = {name: [] for name in CANDIDATE_SCHEMA.names}
+        # per-batch caches: referrers repeat per document; domain verdicts
+        # repeat per host (both checked per candidate otherwise)
+        from ..urlnorm import Uri
+
+        ref_cache: dict[str, Uri] = {}
+        domain_cache: dict[str, bool] = {}
         for i in range(n):
-            row = process_url(cands[i], refs[i], rdepths[i], self.canon)
+            ref = refs[i]
+            base = ref_cache.get(ref)
+            if base is None:
+                base = Uri.parse(ref or "")
+                ref_cache[ref] = base
+            row = process_url(cands[i], base, rdepths[i], self.canon,
+                              referrer_str=ref)
             if row is None:
                 continue  # urijs choke — silently dropped (queueURL:1497-1500)
             depth = overrides[i] if overrides[i] >= 0 else row.depth
             reason = ""
-            if not domain_valid(
-                row.host, crawl_host,
-                filter_by_domain=cfg.get("filter_by_domain", True),
-                ignore_www_domain=cfg.get("ignore_www_domain", True),
-                scan_subdomains=cfg.get("scan_subdomains", False),
-                domain_whitelist=cfg.get("domain_whitelist"),
-            ):
+            dv = domain_cache.get(row.host)
+            if dv is None:
+                dv = domain_valid(
+                    row.host, crawl_host,
+                    filter_by_domain=cfg.get("filter_by_domain", True),
+                    ignore_www_domain=cfg.get("ignore_www_domain", True),
+                    scan_subdomains=cfg.get("scan_subdomains", False),
+                    domain_whitelist=cfg.get("domain_whitelist"),
+                )
+                domain_cache[row.host] = dv
+            if not dv:
                 reason = "invaliddomain"
             elif cfg.get("respect_robots_txt", True):
-                hk = host_key(row.url)
+                hk = f"{row.host}:{row.port or ''}"
                 rules = self.robots.get(hk)
-                if rules is not None and not rules.is_allowed(row.url):
+                if rules is not None and not rules.is_allowed_path(row.path):
                     reason = "fetchdisallowed"
             if not reason and self.fetch_conditions:
                 qi = {

@@ -494,12 +494,24 @@ class UrlRow:
 _RE_WWW = re.compile(r"https?://(www\.).*", re.I)
 
 
-def process_url(url: str, referrer_url: str = "", referrer_depth: int = QUEUE_ITEM_INITIAL_DEPTH - 1,
-                opts: CanonOpts | None = None) -> Optional[UrlRow]:
+def process_url(url: str, referrer_url: "str|Uri" = "",
+                referrer_depth: int = QUEUE_ITEM_INITIAL_DEPTH - 1,
+                opts: CanonOpts | None = None,
+                referrer_str: Optional[str] = None) -> Optional[UrlRow]:
     """Canonicalize ``url`` against its referrer; None == reject (urijs choke /
     empty). Mirrors processURL src/crawler.ts:895-958 incl. strip/sort/www
-    options; this function defines the canonical form that feeds url_hash."""
+    options; this function defines the canonical form that feeds url_hash.
+
+    ``referrer_url`` may be a pre-parsed ``Uri`` (hot loops resolve many
+    candidates against one referrer); pass ``referrer_str`` alongside for
+    the stored referrer field, else it is rebuilt via ``href()``.
+    """
     opts = opts or CanonOpts()
+    if isinstance(referrer_url, Uri):
+        if referrer_str is None:
+            referrer_str = referrer_url.href()
+    else:
+        referrer_str = referrer_url
     if not url or not url.strip():
         return None
     try:
@@ -530,7 +542,7 @@ def process_url(url: str, referrer_url: str = "", referrer_depth: int = QUEUE_IT
         path=new.resource(),
         uri_path=new.path,
         depth=referrer_depth + 1,
-        referrer=referrer_url,
+        referrer=referrer_str,
     )
 
 
