@@ -282,6 +282,30 @@ def _q_docs_row_number(sf_dir: str):
 # ----- rows-only (non-SQL-expressible) --------------------------------------
 
 
+def _q_crawl_queue_stats(sf_dir: str):
+    """Queue-state aggregates (A1-A6) computed over a live crawl's
+    frontier through the FrontierQueue API (rows-only; the fixture-based
+    goldens for these live in tests/test_queue.py)."""
+    from simplecrawler_ray.pipelines.crawl import CrawlEngine
+    from simplecrawler_ray.queue_api import FrontierQueue
+    from simplecrawler_ray.sources.web import ConformanceWeb
+
+    eng = CrawlEngine(ConformanceWeb(), "http://127.0.0.1:3000/", seen_shards=2,
+                      store_body=False)
+    res = eng.run(max_rounds=40)
+    q = FrontierQueue(res.frontier_table())
+    out = pd.DataFrame([{
+        "length": q.get_length(),
+        "n_fetched": q.count_items({"fetched": True}),
+        "n_downloaded": q.count_items({"status": "downloaded"}),
+        "n_code_200": q.count_items({"stateData": {"code": 200}}),
+        "max_download_ms": q.max("downloadTime"),
+        "avg_content_length": round(q.avg("contentLength"), 6),
+    }])
+    eng.seen.shutdown()
+    return out
+
+
 def _q_crawl_fidelity(sf_dir: str):
     """North-rule invariant as a pipeline: crawl the materialized
     image+caption corpus, then verify every fetched row against the
@@ -488,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_row_number": _q_docs_row_number,
         # rows-only checks
         "crawl_fidelity": _q_crawl_fidelity,
+        "crawl_queue_stats": _q_crawl_queue_stats,
         "q_image_decode_stats": _q_image_decode_stats,
         "crawl_conformance": _q_crawl_conformance,
         "crawl_scaleweb": _q_crawl_scaleweb,

@@ -134,7 +134,7 @@ def bench_queries() -> dict:
     qs = entrymod.queries()
     out = {}
     for name, fn in qs.items():
-        if name in ("crawl_conformance", "crawl_scaleweb", "crawl_fidelity"):
+        if name.startswith("crawl_"):
             continue  # crawl pipelines are covered by the headline bench
         t0 = time.time()
         fn(SF_DIR)

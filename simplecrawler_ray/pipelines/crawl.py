@@ -755,3 +755,10 @@ class CrawlResult:
 
     def shutdown(self):
         self.engine.seen.shutdown()
+
+
+def sink_dataset(sink_dir: str) -> "rd.Dataset":
+    """Read a turbo crawl's fetched output back as a Dataset.  Rows are
+    at-least-once across resume boundaries: dedup by url keeping the
+    highest round if a resume re-fetched an interrupted wave."""
+    return rd.read_parquet(sink_dir)

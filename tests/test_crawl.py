@@ -424,3 +424,18 @@ def test_robots_actor_pool(web):
     assert st["http://127.0.0.1:3000/sitemap.xml"] == "notfound"  # sitemap queued
     eng._robots_pool.shutdown()
     eng.seen.shutdown()
+
+
+def test_sink_dataset_and_queue_over_it(tmp_path):
+    from simplecrawler_ray.pipelines.crawl import sink_dataset
+    from simplecrawler_ray.queue_api import FrontierQueue
+
+    sw = ScaleWeb(n_pages=30, n_hosts=2, out_degree=2)
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, batch_size=16)
+    eng.run_turbo(str(tmp_path / "s"), max_rounds=40)
+    ds = sink_dataset(str(tmp_path / "s"))
+    q = FrontierQueue(ds)
+    assert q.get_length() == 30
+    assert q.count_items({"status": "downloaded"}) == 30
+    eng.seen.shutdown()
