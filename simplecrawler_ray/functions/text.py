@@ -11,9 +11,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 _WS_RE = re.compile(r"\s+")
 _PUNCT = set(".,;:!?'\"()-")

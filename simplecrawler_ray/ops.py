@@ -18,8 +18,6 @@ the way they must be written at 100 TB:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -38,13 +38,12 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..robots import RobotsRules, host_key, robots_txt_url
+from ..robots import RobotsRules, host_key
 from ..schemas import (
     FRONTIER_SCHEMA,
     STATUS_DISALLOWED,
     STATUS_QUEUED,
 )
-from ..sources.web import url_hash64
 from ..stages.candidates import (
     CANDIDATE_SCHEMA,
     CandidateProcessor,
@@ -53,9 +52,9 @@ from ..stages.candidates import (
     candidates_to_frontier_rows,
     explode_discovered,
 )
-from ..stages.fetch import Fetcher, fetcher_udf
+from ..stages.fetch import fetcher_udf
 from ..state.seen import SeenSet
-from ..urlnorm import CanonOpts, Uri, process_url
+from ..urlnorm import CanonOpts, process_url
 
 PAYLOAD_COLS = ["body", "caption", "image_id", "disposition", "error_flags", "location",
                 "discovered", "mime_supported"]

@@ -15,14 +15,13 @@ and streaming aggregates — no driver materialization of the frontier.
 
 from __future__ import annotations
 
-import re
 from typing import Any, Optional, Union
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from .schemas import FRONTIER_SCHEMA, STATUS_QUEUED, STATUS_SPOOLED
+from .schemas import STATUS_QUEUED, STATUS_SPOOLED
 
 ALLOWED_STATISTICS = {
     "actualDataSize": "state_actual_data_size",

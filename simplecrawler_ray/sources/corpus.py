@@ -28,7 +28,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..schemas import CORPUS_SCHEMA
 from .web import ScaleWeb, WebResponse, _resp, url_hash64
 
 

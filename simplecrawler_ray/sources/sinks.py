@@ -12,7 +12,6 @@ deployments that do want file mirroring.
 from __future__ import annotations
 
 import hashlib
-import json
 import re
 
 import pyarrow as pa

@@ -14,11 +14,10 @@ fetchconditionerror) so event counters are derivable (A8).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import ray
 
-from ..robots import RobotsRules, host_key
+from ..robots import RobotsRules
 from ..sources.web import url_hash64
 from ..urlnorm import CanonOpts, domain_valid, process_url
 from ..schemas import frontier_row_defaults
