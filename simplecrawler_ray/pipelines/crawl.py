@@ -110,6 +110,17 @@ DEFAULT_CONFIG = dict(
     auth_pass=None,
     custom_headers=None,
     robots_pool_shards=0,   # >0: sharded RobotsShard actors fetch robots.txt
+    # reference API-parity knobs; inert against the synthetic transport
+    # (no real sockets to time out / proxy), accepted so a reference
+    # user's config ports unchanged (README.md Configuration section)
+    timeout=300000,          # per-request header timeout (ms)
+    listener_ttl=10000,      # async-listener TTL (ms)
+    decode_responses=False,  # body stays raw bytes; `caption` is decoded
+    use_proxy=False,
+    proxy_hostname="127.0.0.1",
+    proxy_port=8123,
+    proxy_user=None,
+    proxy_pass=None,
 )
 
 
