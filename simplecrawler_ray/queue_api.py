@@ -143,6 +143,19 @@ class FrontierQueue:
             return int(pc.sum(pc.cast(_predicate(t, flat), pa.int64())).as_py() or 0)
         return self._map_filter(flat).count()
 
+    def get(self, index: int) -> dict:
+        """Row by queue position (src/queue.ts:145-155); RangeError parity
+        -> IndexError past the end."""
+        if self._is_table:
+            t = self._table()
+            if index >= t.num_rows:
+                raise IndexError("Index was greater than the queue's length")
+            return {c: t.column(c)[index].as_py() for c in t.column_names}
+        rows = self._data.take(index + 1)
+        if len(rows) <= index:
+            raise IndexError("Index was greater than the queue's length")
+        return rows[index]
+
     def get_length(self) -> int:
         return self._data.num_rows if self._is_table else self._data.count()
 

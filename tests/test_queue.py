@@ -132,3 +132,13 @@ def test_freeze_requeues_spooled(tmp_path):
     FrontierQueue(t).freeze(p)
     q2 = FrontierQueue.defrost(p)
     assert q2.count_items({"status": "queued"}) == 1  # spooled -> queued
+
+
+def test_get_by_index():
+    # queue.get(index): row by position; out-of-range -> error
+    # (src/queue.ts:145-155)
+    q = FrontierQueue(fixture_table())
+    row = q.get(2)
+    assert row["url"] == "http://127.0.0.1:3000/stage2"
+    with pytest.raises(IndexError):
+        q.get(99)
