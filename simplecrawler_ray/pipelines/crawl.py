@@ -76,6 +76,8 @@ DEFAULT_CONFIG = dict(
     interval_ms=250,
     max_concurrency=5,
     host_budget_per_round=0,   # 0 = whole wave (conformance); >0 = politeness cap
+    max_wave_rows=0,           # 0 = unlimited; >0 caps rows per round so
+                               # per-round memory is bounded for huge frontiers
     respect_robots_txt=True,
     allow_initial_domain_change=False,
     filter_by_domain=True,
@@ -327,12 +329,20 @@ class CrawlEngine:
         q = q.take(order)
         if not budget:
             self.queued = FRONTIER_SCHEMA.empty_table()
-            return q
+            return self._cap_wave(q)
         df = q.select(["host"]).to_pandas()
         rank = df.groupby("host").cumcount()
         take = pa.array((rank < budget).to_numpy())
         wave = q.filter(take)
         self.queued = q.filter(pc.invert(take))
+        return self._cap_wave(wave)
+
+    def _cap_wave(self, wave: pa.Table) -> pa.Table:
+        cap = self.cfg["max_wave_rows"]
+        if cap and wave.num_rows > cap:
+            self.queued = (pa.concat_tables([wave.slice(cap), self.queued])
+                           if self.queued.num_rows else wave.slice(cap))
+            return wave.slice(0, cap)
         return wave
 
     # ------------------------------------------------------------- rounds

@@ -439,3 +439,16 @@ def test_sink_dataset_and_queue_over_it(tmp_path):
     assert q.get_length() == 30
     assert q.count_items({"status": "downloaded"}) == 30
     eng.seen.shutdown()
+
+
+def test_max_wave_rows_bounds_rounds(tmp_path):
+    """max_wave_rows caps per-round memory: FIFO preserved, everything
+    still fetched, multiple bounded rounds instead of one huge wave."""
+    sw = ScaleWeb(n_pages=90, n_hosts=3, out_degree=2)
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, batch_size=16, max_wave_rows=25)
+    eng.seed_frontier([sw.url_of(i) for i in range(90)])
+    out = eng.run_turbo(str(tmp_path / "s"), max_rounds=40)
+    assert out["fetched"] == 90
+    assert out["rounds"] >= 4  # 90 rows / 25-cap => at least 4 waves
+    eng.seen.shutdown()
