@@ -303,7 +303,8 @@ class CrawlEngine:
                 continue
             try:
                 text = resp.body.decode("utf-8", errors="replace")
-                rules = RobotsRules.parse(rurl, text)
+                rules = RobotsRules.parse(rurl, text,
+                                          self.cfg.get("user_agent", "*"))
             except Exception:
                 rules = RobotsRules.error_rules(rurl)
                 self._count("robotstxterror")
@@ -556,16 +557,14 @@ class CrawlEngine:
         Ordering is hash-seq (BFS-monotone across rounds, arbitrary within
         a round) — use ``run()`` when reference-exact FIFO matters.
         """
-        from ..stages.turbo import MetricsActor, turbo_round_udf
+        from ..stages.turbo import split_meta, turbo_round_udf
 
         self._count("crawlstart")
         self._seed()
-        metrics_actor = MetricsActor.remote()
         if self._web_ref is None:
             self._web_ref = ray.put(self.web)
         cfg_ref = ray.put(self.cfg)
         robots_ref = ray.put(self.robots_cache)
-        robots_version = 0
         fetched_total = 0
         bs = self.cfg["batch_size"]
         while self.round_no < max_rounds:
@@ -580,14 +579,38 @@ class CrawlEngine:
                 break
             if self.cfg["respect_robots_txt"]:
                 with self._timed("robots"):
-                    hosts = {host_key(u) for u in wave.column("host").to_pylist()}
+                    # robots keys match CandidateProcessor: "host:port"
+                    # built from the frontier columns (NOT host_key(), which
+                    # expects a full URL — see round-1 advice)
+                    hosts = {f"{h}:{p or ''}"
+                             for h, p in zip(wave.column("host").to_pylist(),
+                                             wave.column("port").to_pylist())}
                     before = len(self.robots_cache)
                     hosts_new = hosts - self.robots_cache.keys()
                     if hosts_new:
-                        self._fetch_robots(hosts_new)
+                        sitemaps = self._fetch_robots(hosts_new)
+                        if sitemaps is not None:
+                            proc = CandidateProcessor(self.cfg, self.robots_cache)
+                            self._admit_candidates(proc(sitemaps))
                     if len(self.robots_cache) != before:
                         robots_ref = ray.put(self.robots_cache)
-                        robots_version += 1
+                    # re-check the dequeued wave against fresh rules: rows
+                    # queued before their host's robots arrived (parity with
+                    # _run_round crawl.py:372-396)
+                    allowed = pa.array([
+                        (self.robots_cache.get(f"{h}:{p or ''}") is None
+                         or self.robots_cache[f"{h}:{p or ''}"].is_allowed(u))
+                        for h, p, u in zip(wave.column("host").to_pylist(),
+                                           wave.column("port").to_pylist(),
+                                           wave.column("url").to_pylist())
+                    ])
+                    n_dis = wave.num_rows - int(pc.sum(allowed).as_py() or 0)
+                    if n_dis:
+                        self._count("fetchdisallowed", n_dis)
+                        wave = wave.filter(allowed)
+                    if wave.num_rows == 0:
+                        self.round_no += 1
+                        continue
             fetched_total += wave.num_rows
             with self._timed("turbo_round"):
                 chunks = [wave.slice(o, bs) for o in range(0, wave.num_rows, bs)] or [wave]
@@ -597,14 +620,18 @@ class CrawlEngine:
                                    robots_ref=robots_ref,
                                    seen_shards=self.seen.shards,
                                    round_no=self.round_no, sink_dir=sink_dir,
-                                   metrics_actor=metrics_actor),
+                                   first_request=self.first_request),
                     batch_format="pyarrow",
                     batch_size=bs,
                     zero_copy_batch=True,
                 )
                 from ..ops import gather_tables as _gt
 
-                new_tables = _gt(ds)
+                new_tables, counters = split_meta(_gt(ds))
+            if counters.pop("__nonredirect", 0):
+                self.first_request = False
+            for k, v in counters.items():
+                self._count(k, v)
             with self._timed("merge"):
                 if new_tables:
                     merged = pa.concat_tables(new_tables)
@@ -614,11 +641,7 @@ class CrawlEngine:
                 with self._timed("checkpoint"):
                     self._checkpoint_state()
             self.round_no += 1
-        counters = ray.get(metrics_actor.get.remote())
-        for k, v in counters.items():
-            self._count(k, v)
         self._count("complete")
-        ray.kill(metrics_actor)
         return {"fetched": fetched_total, "rounds": self.round_no,
                 "metrics": dict(self.metrics), "sink_dir": sink_dir}
 

@@ -20,6 +20,7 @@ from typing import Any, Optional, Union
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import ray
 
 from .schemas import STATUS_QUEUED, STATUS_SPOOLED
 
@@ -132,9 +133,7 @@ class FrontierQueue:
         if self._is_table:
             t = self._table()
             return t.filter(_predicate(t, flat))
-        return pa.concat_tables(
-            ray_get_all(self._map_filter(flat))
-        )
+        return gather_concat(self._map_filter(flat))
 
     def count_items(self, comparator: dict) -> int:
         flat = _flatten_comparator(comparator)
@@ -178,7 +177,7 @@ class FrontierQueue:
     def freeze(self, path: str) -> None:
         """Checkpoint the frontier; in-flight (spooled) rows re-queued first
         (src/queue.ts:270-274)."""
-        t = self._table() if self._is_table else pa.concat_tables(ray_get_all(self._data))
+        t = self._table() if self._is_table else gather_concat(self._data)
         status = t.column("status").to_pylist()
         status = [STATUS_QUEUED if s == STATUS_SPOOLED else s for s in status]
         t = t.set_column(t.schema.get_field_index("status"), "status",
@@ -191,7 +190,7 @@ class FrontierQueue:
 
     def seen_hashes(self):
         """url_hash column for seen-set replay on defrost."""
-        t = self._table() if self._is_table else pa.concat_tables(ray_get_all(self._data))
+        t = self._table() if self._is_table else gather_concat(self._data)
         return t.column("url_hash").to_numpy(zero_copy_only=False)
 
 
@@ -199,3 +198,19 @@ def ray_get_all(ds) -> list[pa.Table]:
     from .ops import gather_tables
 
     return gather_tables(ds)
+
+
+def gather_concat(ds) -> pa.Table:
+    """Gather + concat dataset blocks; empty-safe (a comparator matching
+    nothing returns a schema-bearing empty table, not ArrowInvalid)."""
+    md = ds.materialize()
+    tables = [t for t in (ray.get(r) for r in md.to_arrow_refs()) if t.num_rows]
+    if tables:
+        return pa.concat_tables(tables)
+    sch = md.schema()
+    try:
+        return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    except Exception:
+        from .schemas import FRONTIER_SCHEMA
+
+        return FRONTIER_SCHEMA.empty_table()

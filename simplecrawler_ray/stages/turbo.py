@@ -2,11 +2,14 @@
 ``map_batches`` UDF for the scale path.
 
 Per input batch of queued frontier rows, inside the task:
-  fetch -> parse/discover -> canonicalize -> domain/robots/depth filters
-  -> global dedup (RPC to the sharded seen-set actors) -> seq stamp
+  fetch -> parse/discover -> redirect re-queue -> canonicalize ->
+  domain/robots/depth filters -> global dedup (RPC to the sharded
+  seen-set actors) -> seq stamp
 and the fetched rows (with payloads) are written DIRECTLY to the
 parquet sink from the worker — they never travel to the driver.  The
-task returns only the thin new-frontier rows (the next wave).
+task returns only the thin new-frontier rows (the next wave) plus one
+in-band ``__meta`` JSON counter row per batch (no metrics actor, no
+per-batch RPC — see A8 / crawler.ts event counters).
 
 This trades the conformance mode's exact FIFO ordering for one dataset
 execution per round and near-zero driver work:
@@ -18,6 +21,10 @@ execution per round and near-zero driver work:
 * duplicate-candidate ties within a round are won by whichever task
   reaches the seen shard first (the reference's first-wins per
   arrival order — arrival order is just no longer deterministic).
+* ``allow_initial_domain_change`` (crawler.ts first-request redirect
+  special case) is not applied in turbo — the seed's redirect target
+  is still queued (depth pinned to 1), but ``cfg.host`` is not
+  rewritten mid-flight.  Use ``run()`` if you rely on it.
 
 Politeness still holds: the driver applies the per-host budget when
 building the next wave from the returned rows.
@@ -25,23 +32,62 @@ building the next wave from the returned rows.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
 from ..schemas import FRONTIER_SCHEMA
-from .candidates import CandidateProcessor, candidates_to_frontier_rows, explode_discovered
+from .candidates import (CandidateProcessor, candidate_table,
+                         candidates_to_frontier_rows, explode_discovered)
 from .fetch import _WORKER_CACHE, _ref_key, Fetcher
 
 _SEQ_MASK = (1 << 42) - 1
+META_COL = "__meta"
+
+_META_SCHEMA = pa.schema(list(FRONTIER_SCHEMA) + [pa.field(META_COL, pa.string())])
+
+
+def _with_meta(frontier: pa.Table, counters: dict) -> pa.Table:
+    """Attach the batch's counters as an in-band JSON column.
+
+    Row 0 carries the JSON; other rows carry "".  A zero-row frontier
+    still needs its counters delivered, so it becomes ONE all-null row
+    with url == null — the driver strips such rows after aggregating
+    (`split_meta`).
+    """
+    blob = json.dumps(counters, separators=(",", ":"))
+    if frontier.num_rows == 0:
+        cols = [pa.nulls(1, f.type) for f in FRONTIER_SCHEMA]
+        return pa.table(cols + [pa.array([blob])], schema=_META_SCHEMA)
+    meta = pa.array([blob] + [""] * (frontier.num_rows - 1), pa.string())
+    return frontier.append_column(pa.field(META_COL, pa.string()), meta)
+
+
+def split_meta(tables: list[pa.Table]) -> tuple[list[pa.Table], dict]:
+    """Driver side: strip META_COL + null marker rows, merge counters."""
+    counters: dict[str, int] = {}
+    out = []
+    for t in tables:
+        for blob in t.column(META_COL).to_pylist():
+            if blob:
+                for k, v in json.loads(blob).items():
+                    counters[k] = counters.get(k, 0) + int(v)
+        t = t.drop_columns([META_COL])
+        t = t.filter(pc.is_valid(t.column("url")))
+        if t.num_rows:
+            out.append(t)
+    return out, counters
 
 
 def turbo_round_udf(batch: pa.Table, *, web_ref, cfg_ref, robots_ref,
-                    seen_shards, round_no, sink_dir, metrics_actor=None) -> pa.Table:
+                    seen_shards, round_no, sink_dir,
+                    first_request=False) -> pa.Table:
     key = ("turbo", _ref_key(web_ref), _ref_key(cfg_ref), _ref_key(robots_ref))
     st = _WORKER_CACHE.get(key)
     if st is None:
@@ -62,28 +108,50 @@ def turbo_round_udf(batch: pa.Table, *, web_ref, cfg_ref, robots_ref,
         out = fetched.drop_columns(["discovered"])
         pq.write_table(out, os.path.join(rdir, f"part-{uuid.uuid4().hex}.parquet"))
 
-    raw = explode_discovered(fetched, cfg.get("max_depth", 0))
     counters = {"fetchstart": batch.num_rows}
+    nonredir = 0
     for d in fetched.column("disposition").to_pylist():
         if d:
             counters[d] = counters.get(d, 0) + 1
+        if d != "fetchredirect":
+            nonredir += 1
+    if nonredir:
+        # first-request bookkeeping marker (stripped by the driver)
+        counters["__nonredirect"] = nonredir
+
+    raw = explode_discovered(fetched, cfg.get("max_depth", 0))
+
+    # redirect targets re-queue (crawler.ts 3xx handling; parity with
+    # _run_round crawl.py:465-487).  Depth is pinned: 1 for the seed's
+    # first-request redirect, else referrer depth (override).
+    redir_mask = pc.and_(pc.equal(fetched.column("disposition"), "fetchredirect"),
+                         pc.not_equal(pc.coalesce(fetched.column("location"), ""), ""))
+    redirs = fetched.filter(redir_mask)
+    if redirs.num_rows:
+        override = 1 if first_request else -1
+        redir_cands = candidate_table([
+            dict(candidate=loc, referrer_url=url, referrer_depth=dep,
+                 parent_seq=seq, pos=0, depth_override=override)
+            for loc, url, dep, seq in zip(
+                redirs.column("location").to_pylist(),
+                redirs.column("url").to_pylist(),
+                redirs.column("depth").to_pylist(),
+                redirs.column("seq").to_pylist())
+        ])
+        raw = (pa.concat_tables([raw, redir_cands], promote_options="default")
+               if raw.num_rows else redir_cands)
+
     if raw.num_rows == 0:
-        if metrics_actor is not None:
-            metrics_actor.incr.remote(counters)
-        return FRONTIER_SCHEMA.empty_table()
+        return _with_meta(FRONTIER_SCHEMA.empty_table(), counters)
 
     cands = proc(raw)
     reasons = cands.column("reject_reason").to_pylist()
     for r in reasons:
         if r:
             counters[r] = counters.get(r, 0) + 1
-    import pyarrow.compute as pc
-
     cands = cands.filter(pc.equal(cands.column("reject_reason"), ""))
     if cands.num_rows == 0:
-        if metrics_actor is not None:
-            metrics_actor.incr.remote(counters)
-        return FRONTIER_SCHEMA.empty_table()
+        return _with_meta(FRONTIER_SCHEMA.empty_table(), counters)
 
     # distributed dedup: scatter to the seen shards, first-wins
     hashes = np.asarray(cands.column("url_hash").to_numpy(zero_copy_only=False),
@@ -101,28 +169,12 @@ def turbo_round_udf(batch: pa.Table, *, web_ref, cfg_ref, robots_ref,
         mask[idx] = m
     counters["queueadd"] = int(mask.sum())
     counters["queueduplicate"] = int((~mask).sum())
-    if metrics_actor is not None:
-        metrics_actor.incr.remote(counters)
     admitted = cands.filter(pa.array(mask))
     if admitted.num_rows == 0:
-        return FRONTIER_SCHEMA.empty_table()
+        return _with_meta(FRONTIER_SCHEMA.empty_table(), counters)
 
     seqs = (((round_no + 1) << 42)
             | (np.asarray(admitted.column("url_hash").to_numpy(zero_copy_only=False),
                           dtype=np.uint64) & np.uint64(_SEQ_MASK))).astype(np.int64)
-    return candidates_to_frontier_rows(admitted, seqs.tolist(), round_no + 1)
-
-
-@ray.remote(num_cpus=0)
-class MetricsActor:
-    """Per-stage metric counters (A8): incremented once per batch."""
-
-    def __init__(self):
-        self.counters: dict[str, int] = {}
-
-    def incr(self, updates: dict) -> None:
-        for k, v in updates.items():
-            self.counters[k] = self.counters.get(k, 0) + int(v)
-
-    def get(self) -> dict:
-        return dict(self.counters)
+    rows = candidates_to_frontier_rows(admitted, seqs.tolist(), round_no + 1)
+    return _with_meta(rows, counters)

@@ -452,3 +452,29 @@ def test_max_wave_rows_bounds_rounds(tmp_path):
     assert out["fetched"] == 90
     assert out["rounds"] >= 4  # 90 rows / 25-cap => at least 4 waves
     eng.seen.shutdown()
+
+
+def test_turbo_parity_with_conformance(tmp_path):
+    """Turbo mode must crawl the same URL set as conformance run():
+    robots honored (host keys from host/port columns) and redirect
+    targets re-queued (round-1 advice regressions)."""
+    web1 = ConformanceWeb()
+    eng, res = run(web1, SEED)
+    expected = set(res.fetched_table().column("url").to_pylist())
+    eng.seen.shutdown()
+
+    web2 = ConformanceWeb()
+    eng2 = CrawlEngine(web2, SEED, seen_shards=2, batch_size=8)
+    out = eng2.run_turbo(str(tmp_path / "sink"), max_rounds=40)
+    import ray.data as rd
+
+    t = rd.read_parquet(str(tmp_path / "sink")).to_pandas()
+    got = set(t["url"])
+    assert "http://127.0.0.1:3000/forbidden" not in got  # robots Disallow
+    assert "http://127.0.0.1:3000/stage6" in got  # behind /stage5 redirect
+    assert "http://127.0.0.1:3000/nofollow" in got
+    assert got == expected
+    # in-band counters survive (no metrics actor race)
+    assert out["metrics"]["fetchredirect"] >= 1
+    assert out["metrics"]["queueadd"] > 0
+    eng2.seen.shutdown()

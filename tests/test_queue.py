@@ -142,3 +142,25 @@ def test_get_by_index():
     assert row["url"] == "http://127.0.0.1:3000/stage2"
     with pytest.raises(IndexError):
         q.get(99)
+
+
+def test_filter_items_no_match_dataset_backend():
+    # empty-match regression: Dataset backend used to raise ArrowInvalid
+    # ("Must pass at least one table") when nothing matched
+    import ray.data as rd
+
+    q = FrontierQueue(rd.from_arrow(fixture_table()))
+    out = q.filter_items({"status": "no-such-status"})
+    assert out.num_rows == 0
+    assert "url" in out.column_names
+
+
+def test_freeze_empty_frontier_dataset_backend(tmp_path):
+    import ray.data as rd
+
+    empty = fixture_table().slice(0, 0)
+    q = FrontierQueue(rd.from_arrow(empty))
+    p = str(tmp_path / "empty.parquet")
+    q.freeze(p)
+    assert FrontierQueue.defrost(p).get_length() == 0
+    assert len(q.seen_hashes()) == 0
