@@ -63,11 +63,13 @@ def _q1_pricing_summary(sf_dir: str):
         ds,
         ["l_returnflag", "l_linestatus"],
         {
-            "sum_qty": ("sum", "l_quantity"),
-            "sum_base_price": ("sum", "l_extendedprice"),
-            "avg_qty": ("mean", "l_quantity"),
-            "avg_price": ("mean", "l_extendedprice"),
-            "avg_disc": ("mean", "l_discount"),
+            # money/fixed-point columns: exact scaled-int accumulation
+            # (order-independent; matches the DECIMAL-cast oracle exactly)
+            "sum_qty": ("sum", "l_quantity", 2),
+            "sum_base_price": ("sum", "l_extendedprice", 2),
+            "avg_qty": ("mean", "l_quantity", 2),
+            "avg_price": ("mean", "l_extendedprice", 2),
+            "avg_disc": ("mean", "l_discount", 2),
             "count_order": ("count", "l_quantity"),
         },
     )
@@ -94,7 +96,7 @@ def _q_mktsegment_revenue(sf_dir: str):
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
     joined = broadcast_join(orders, cust, on="o_custkey")
     out = groupby_agg(joined, ["c_mktsegment"],
-                      {"revenue": ("sum", "o_totalprice"),
+                      {"revenue": ("sum", "o_totalprice", 2),
                        "n_orders": ("count", "o_totalprice")})
     df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
     return _round_floats(df)
@@ -154,7 +156,7 @@ def _q_part_brand_stats(sf_dir: str):
 
     ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
     out = groupby_agg(ds, ["p_brand"],
-                      {"avg_retail": ("mean", "p_retailprice"),
+                      {"avg_retail": ("mean", "p_retailprice", 2),
                        "max_size": ("max", "p_size"),
                        "n": ("count", "p_size")})
     return _round_floats(out.to_pandas().sort_values("p_brand").reset_index(drop=True))
@@ -224,8 +226,11 @@ def _q_priority_revenue(sf_dir: str):
 
     li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
     joined = hash_join(orders, li, on="o_orderkey", n_buckets=16)
+    # rev = price*(1-disc) is exact at 4 decimals (2+2); the float product
+    # is within 1e-7 of the decimal product, so rint at scale 1e4 recovers
+    # the exact decimal value before the exact-int sum
     out = groupby_agg(joined, ["o_orderpriority"],
-                      {"revenue": ("sum", "rev"), "n_items": ("count", "rev")})
+                      {"revenue": ("sum", "rev", 4), "n_items": ("count", "rev")})
     return _round_floats(out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
 
 
@@ -529,11 +534,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 6) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-                   ROUND(AVG(l_quantity), 6) AS avg_qty,
-                   ROUND(AVG(l_extendedprice), 6) AS avg_price,
-                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_base_price,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -547,7 +552,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_mktsegment_revenue": """
             SELECT c_mktsegment,
-                   ROUND(SUM(o_totalprice), 6) AS revenue,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS revenue,
                    COUNT(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
@@ -586,7 +591,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_part_brand_stats": """
             SELECT p_brand,
-                   ROUND(AVG(p_retailprice), 6) AS avg_retail,
+                   ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(p_retailprice), 6) AS avg_retail,
                    MAX(p_size) AS max_size,
                    COUNT(*) AS n
             FROM part
@@ -629,7 +634,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_priority_revenue": """
             SELECT o_orderpriority,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS revenue,
                    COUNT(*) AS n_items
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority

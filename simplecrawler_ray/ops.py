@@ -41,28 +41,52 @@ def gather_tables(ds: rd.Dataset) -> list[pa.Table]:
     return [t for t in (ray.get(r) for r in md.to_arrow_refs()) if t.num_rows]
 
 
-def groupby_agg(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, str]],
+def groupby_agg(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple],
                 batch_format: str = "pyarrow") -> rd.Dataset:
     """Grouped aggregation with per-batch partial combine.
 
-    ``aggs``: output_name -> (func, input_col); func in sum/count/min/
-    max/mean.  mean is computed as sum+count partials and finalized
-    after the shuffle, so partials stay mergeable.
+    ``aggs``: output_name -> (func, input_col[, decimals]); func in
+    sum/count/min/max/mean.  mean is computed as sum+count partials and
+    finalized after the shuffle, so partials stay mergeable.
+
+    When ``decimals`` is given for a sum/mean over a fixed-point float
+    column (e.g. money stored as doubles, exact at d decimal places),
+    values are scaled to int64 at 10**decimals and accumulated EXACTLY,
+    so the result is independent of batch/accumulation order and equals
+    a DECIMAL-exact SQL oracle bit-for-bit (the final value is the
+    correctly-rounded double of the exact rational sum/10**d).  Without
+    it, float sums pick up order-dependent last-digit noise — the
+    round-1 hash-mismatch root cause.  int64 partials overflow at
+    ~9.2e18 * 10**-d absolute sum; fine for money at any realistic SF.
     """
-    for name, (fn, col) in aggs.items():
+    specs: dict[str, tuple] = {}
+    for name, spec in aggs.items():
+        fn, col = spec[0], spec[1]
+        dec = spec[2] if len(spec) > 2 else None
         if fn not in _AGG_FUNCS:
             raise ValueError(f"unsupported agg {fn}")
+        specs[name] = (fn, col, dec)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        for name, (fn, col, dec) in specs.items():
+            if dec is not None and fn in ("sum", "mean"):
+                sc = np.rint(df[col].to_numpy(dtype=np.float64) * 10.0 ** dec)
+                # nulls contribute 0 to the sum (pandas skipna parity;
+                # mean divides by the non-null count)
+                df[f"__x_{name}"] = np.where(np.isnan(sc), 0.0, sc).astype(np.int64)
         g = df.groupby(keys, sort=False, dropna=False)
         out = {}
-        for name, (fn, col) in aggs.items():
+        for name, (fn, col, dec) in specs.items():
+            scaled = dec is not None and fn in ("sum", "mean")
+            src = f"__x_{name}" if scaled else col
             if fn == "count":
                 out[f"__{name}_cnt"] = g[col if col else keys[0]].size()
             elif fn == "mean":
-                out[f"__{name}_sum"] = g[col].sum()
+                out[f"__{name}_sum"] = g[src].sum()
                 out[f"__{name}_cnt"] = g[col].count()
+            elif fn == "sum":
+                out[f"__{name}_sum"] = g[src].sum()
             else:
                 out[f"__{name}_{fn}"] = getattr(g[col], fn)()
         pdf = pd.DataFrame(out).reset_index()
@@ -70,14 +94,26 @@ def groupby_agg(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple[str, str]
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         res = {k: [group[k].iloc[0]] for k in keys}
-        for name, (fn, col) in aggs.items():
+        for name, (fn, col, dec) in specs.items():
             if fn == "count":
                 res[name] = [group[f"__{name}_cnt"].sum()]
             elif fn == "mean":
                 cnt = group[f"__{name}_cnt"].sum()
-                res[name] = [group[f"__{name}_sum"].sum() / cnt if cnt else float("nan")]
+                if not cnt:
+                    res[name] = [float("nan")]
+                elif dec is not None:
+                    s = int(group[f"__{name}_sum"].sum())
+                    # exact-int / power-of-ten, THEN / count: mirrors the
+                    # oracle's CAST(SUM(DECIMAL) AS DOUBLE) / COUNT(col)
+                    res[name] = [(s / 10 ** dec) / cnt]
+                else:
+                    res[name] = [group[f"__{name}_sum"].sum() / cnt]
             elif fn == "sum":
-                res[name] = [group[f"__{name}_sum"].sum()]
+                if dec is not None:
+                    s = int(group[f"__{name}_sum"].sum())
+                    res[name] = [s / 10 ** dec]
+                else:
+                    res[name] = [group[f"__{name}_sum"].sum()]
             elif fn == "min":
                 res[name] = [group[f"__{name}_min"].min()]
             elif fn == "max":

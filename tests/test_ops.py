@@ -204,3 +204,36 @@ def test_asof_join():
     assert got[("a", "2024-01-01 10:20:00")] == 2.0
     assert got[("b", "2024-01-01 10:07:00")] == 9.0
     assert np.isnan(got[("b", "2024-01-01 09:00:00")])
+
+
+def test_groupby_agg_exact_decimal_sums():
+    """Fixed-point sums are exact and independent of block/batch order
+    (round-1 hash-mismatch root cause)."""
+    import random
+
+    import ray.data as rd
+
+    from simplecrawler_ray.ops import groupby_agg
+
+    rng = random.Random(7)
+    rows = [{"k": f"g{i % 3}", "v": round(rng.uniform(100, 100000), 2)}
+            for i in range(5000)]
+    expected = {}
+    for r in rows:
+        expected.setdefault(r["k"], 0)
+        expected[r["k"]] += round(r["v"] * 100)
+
+    def run(order):
+        t = pa.table({"k": [r["k"] for r in order], "v": [r["v"] for r in order]})
+        chunks = [t.slice(o, 700) for o in range(0, t.num_rows, 700)]
+        ds = rd.from_arrow(chunks)
+        out = groupby_agg(ds, ["k"], {"s": ("sum", "v", 2)}).to_pandas()
+        return dict(zip(out["k"], out["s"]))
+
+    a = run(rows)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    b = run(shuffled)
+    for k, cents in expected.items():
+        exact = cents / 100  # correctly-rounded double of the exact rational
+        assert a[k] == exact and b[k] == exact
