@@ -225,7 +225,7 @@ def _q_priority_revenue(sf_dir: str):
         return pa.table({"o_orderkey": t.column("l_orderkey"), "rev": rev})
 
     li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
-    joined = hash_join(orders, li, on="o_orderkey", n_buckets=16)
+    joined = hash_join(orders, li, on="o_orderkey", n_buckets=8)
     # rev = price*(1-disc) is exact at 4 decimals (2+2); the float product
     # is within 1e-7 of the decimal product, so rint at scale 1e4 recovers
     # the exact decimal value before the exact-int sum
