@@ -71,6 +71,25 @@ def _normalize_fetched(t: pa.Table) -> pa.Table:
     cols = [c for c in _FETCHED_ORDER if c in t.column_names]
     return t.select(cols)
 
+
+@ray.remote(num_returns=2)
+def _split_fetched_block(t: pa.Table, want_body: bool):
+    """Worker-side split of one fetched block: (normalized full block —
+    stays in the object store; thin body-less view — the only part the
+    driver pulls for round logic).  ``want_body`` keeps the payload in
+    the thin view when a fetch_complete_hook needs it driver-side."""
+    thin = t if want_body or "body" not in t.column_names else t.drop_columns(["body"])
+    return _normalize_fetched(t), thin
+
+
+@ray.remote
+def _write_block(t: pa.Table, path: str) -> int:
+    """Worker-side checkpoint write of one fetched block (payloads never
+    transit the driver; multi-node deployments point checkpoint_dir at
+    shared storage, same contract as the turbo sink)."""
+    pq.write_table(t, path)
+    return t.num_rows
+
 DEFAULT_CONFIG = dict(
     max_depth=0,
     interval_ms=250,
@@ -365,16 +384,26 @@ class CrawlEngine:
         # robots for hosts new this round (crawler.ts:1296-1335)
         if self.cfg["respect_robots_txt"]:
           with self._timed("robots"):
-              hosts = {host_key(u) for u in wave.column("url").to_pylist()}
-              sitemaps = self._fetch_robots(hosts)
+              hks = [f"{h}:{p or ''}"
+                     for h, p in zip(wave.column("host").to_pylist(),
+                                     wave.column("port").to_pylist())]
+              sitemaps = self._fetch_robots(set(hks))
               if sitemaps is not None:
                   proc = CandidateProcessor(self.cfg, self.robots_cache)
                   self._admit_candidates(proc(sitemaps))
-              # re-check wave rows against fresh rules
-              allowed_mask = []
-              for u in wave.column("url").to_pylist():
-                  rules = self.robots_cache.get(host_key(u))
-                  allowed_mask.append(rules.is_allowed(u) if rules else True)
+              # re-check wave rows against fresh rules; only hosts that
+              # actually carry rules need the per-row path match (rules
+              # are per-host — the common all-allowed host short-circuits)
+              active = {hk for hk in set(hks)
+                        if (r := self.robots_cache.get(hk)) is not None
+                        and (r._rules or r.error)}
+              if active:
+                  allowed_mask = [
+                      hk not in active or self.robots_cache[hk].is_allowed(u)
+                      for hk, u in zip(hks, wave.column("url").to_pylist())
+                  ]
+              else:
+                  allowed_mask = [True] * wave.num_rows
               allowed = pa.array(allowed_mask)
               disallowed = wave.filter(pc.invert(allowed))
               if disallowed.num_rows:
@@ -419,16 +448,25 @@ class CrawlEngine:
                 zero_copy_batch=True,
             ).materialize()
         with self._timed("fetch_gather"):
-            fetched_tables = [ray.get(ref) for ref in fetched_ds.to_arrow_refs()]
-        fetched_tables = [t for t in fetched_tables if t.num_rows]
-        if not fetched_tables:
+            # payload blocks never transit the driver: a worker task splits
+            # each block into (normalized-ref kept in the object store,
+            # thin body-less view) and only the thin part is pulled here
+            want_body = self.fetch_complete_hook is not None
+            norm_refs, thin_refs = [], []
+            for r in fetched_ds.to_arrow_refs():
+                n, t = _split_fetched_block.remote(r, want_body)
+                norm_refs.append(n)
+                thin_refs.append(t)
+            thin_all = ray.get(thin_refs)
+        keep = [i for i, t in enumerate(thin_all) if t.num_rows]
+        if not keep:
             return True
+        round_refs = [norm_refs[i] for i in keep]
+        self.terminal_refs.extend(round_refs)
         with self._timed("fetch_concat"):
-            fetched_raw = pa.concat_tables(fetched_tables, promote_options="default")
+            fetched_raw = pa.concat_tables([thin_all[i] for i in keep],
+                                           promote_options="default")
             fetched = _normalize_fetched(fetched_raw)  # "discovered" stays transient
-
-            # store terminal rows (payloads live in the object store, not driver)
-            self.terminal_refs.append(ray.put(fetched))
 
         # ---- metrics from dispositions ----
         _t_metrics = self._timed("metrics"); _t_metrics.__enter__()
@@ -533,7 +571,7 @@ class CrawlEngine:
                 self._admit_candidates(all_cands)
 
         with self._timed("checkpoint"):
-            self._checkpoint(fetched)
+            self._checkpoint(round_refs)
         return True
 
     # ------------------------------------------------------------- public
@@ -688,16 +726,19 @@ class CrawlEngine:
         eng.seen.add(np.concatenate(hashes).astype(np.uint64))
         return eng
 
-    def _checkpoint(self, fetched: pa.Table) -> None:
+    def _checkpoint(self, fetched_refs: list) -> None:
         ckpt = self.cfg["checkpoint_dir"]
         if not ckpt:
             return
         rdir = os.path.join(ckpt, f"round={self.round_no:05d}")
         tmp = rdir + ".tmp"
         os.makedirs(tmp, exist_ok=True)
-        pq.write_table(
-            fetched.drop_columns([c for c in ("discovered",) if c in fetched.column_names]),
-            os.path.join(tmp, "fetched.parquet"))
+        # each block written from a worker (normalized refs: no
+        # "discovered", payloads never hop through the driver)
+        ray.get([
+            _write_block.remote(r, os.path.join(tmp, f"fetched-{i:04d}.parquet"))
+            for i, r in enumerate(fetched_refs)
+        ])
         pq.write_table(self.queued, os.path.join(tmp, "queued.parquet"))
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
             json.dump({"round": self.round_no, "next_seq": self.next_seq,
@@ -723,13 +764,16 @@ class CrawlEngine:
         eng.cfg["host"] = meta["host"]
         eng.queued = pq.read_table(os.path.join(last, "queued.parquet"))
         # replay seen from every checkpointed round (fetched + queued)
+        import glob as _glob
+
         hashes = [eng.queued.column("url_hash").to_numpy(zero_copy_only=False)]
         for rdir in rounds:
-            t = pq.read_table(os.path.join(checkpoint_dir, rdir, "fetched.parquet"),
-                              columns=["url_hash"])
-            hashes.append(t.column("url_hash").to_numpy(zero_copy_only=False))
-            ft = pq.read_table(os.path.join(checkpoint_dir, rdir, "fetched.parquet"))
-            eng.terminal_refs.append(ray.put(ft))
+            parts = sorted(
+                _glob.glob(os.path.join(checkpoint_dir, rdir, "fetched*.parquet")))
+            for part in parts:
+                t = pq.read_table(part, columns=["url_hash"])
+                hashes.append(t.column("url_hash").to_numpy(zero_copy_only=False))
+                eng.terminal_refs.append(ray.put(pq.read_table(part)))
         eng.seen.add(np.concatenate(hashes).astype(np.uint64))
         return eng
 
@@ -774,26 +818,30 @@ class CrawlResult:
         (disposition + error flags), replacing the reference's callback
         event API with a queryable table."""
         t = self.fetched_table()
-        urls, seqs, events, rounds = [], [], [], []
-        for u, s, disp, flags, rnd in zip(
-            t.column("url").to_pylist(), t.column("seq").to_pylist(),
-            t.column("disposition").to_pylist(),
-            t.column("error_flags").to_pylist() if "error_flags" in t.column_names
-            else [""] * t.num_rows,
-            t.column("round").to_pylist(),
-        ):
-            evs = [disp] if disp else []
-            evs += [f for f in (flags or "").split(",") if f]
-            for e in evs:
-                urls.append(u)
-                seqs.append(s)
-                events.append(e)
-                rounds.append(rnd)
+        base = t.select(["seq", "url", "round"])
+        disp = pc.coalesce(t.column("disposition"), "")
+        parts = []
+        # one event row per non-empty disposition (vectorized filter)
+        disp_rows = base.append_column("event", disp).filter(
+            pc.not_equal(disp, ""))
+        parts.append(disp_rows.select(["seq", "url", "event", "round"]))
+        # error flags: "a,b" -> one row per flag, exploded via the Arrow
+        # list kernels (split -> flatten + parent_indices), no row loop
+        if "error_flags" in t.column_names:
+            flags = pc.coalesce(t.column("error_flags"), "")
+            lists = pc.split_pattern(flags, ",")
+            flat = pc.list_flatten(lists)
+            sel = base.take(pc.list_parent_indices(lists))
+            flag_rows = sel.append_column("event", flat).filter(
+                pc.not_equal(flat, ""))
+            parts.append(flag_rows.select(["seq", "url", "event", "round"]))
+        out = pa.concat_tables(parts)
+        out = out.take(pc.sort_indices(out, sort_keys=[("seq", "ascending")]))
         return pa.table({
-            "seq": pa.array(seqs, pa.int64()),
-            "url": pa.array(urls, pa.string()),
-            "event": pa.array(events, pa.string()),
-            "round": pa.array(rounds, pa.int32()),
+            "seq": out.column("seq").cast(pa.int64()),
+            "url": out.column("url"),
+            "event": out.column("event"),
+            "round": out.column("round").cast(pa.int32()),
         })
 
     def shutdown(self):
