@@ -90,6 +90,69 @@ def _write_block(t: pa.Table, path: str) -> int:
     pq.write_table(t, path)
     return t.num_rows
 
+
+class _DatasetFrontier:
+    """Object-store-resident queued frontier (``frontier_backend="dataset"``).
+
+    The driver holds only block ObjectRefs + per-block row counts + a
+    per-host row Counter (for hot-host salt factors); the queued rows
+    themselves live in — and spill from — the Ray object store.  The
+    per-round dequeue is `stages.politeness.politeness_dequeue_ds` /
+    `dequeue_oldest_ds`; the remainder is re-pinned as block refs
+    without ever being gathered driver-side."""
+
+    def __init__(self):
+        self.refs: list = []
+        self.block_counts: list[int] = []
+        self.host_counts: dict[str, int] = {}
+
+    @property
+    def num_rows(self) -> int:
+        return sum(self.block_counts)
+
+    def add_table(self, t: pa.Table) -> None:
+        if t.num_rows == 0:
+            return
+        self.refs.append(ray.put(t))
+        self.block_counts.append(t.num_rows)
+        for e in pc.value_counts(t.column("host")).to_pylist():
+            self.host_counts[e["values"]] = (
+                self.host_counts.get(e["values"], 0) + e["counts"])
+
+    def subtract_hosts(self, t: pa.Table) -> None:
+        for e in pc.value_counts(t.column("host")).to_pylist():
+            n = self.host_counts.get(e["values"], 0) - e["counts"]
+            if n > 0:
+                self.host_counts[e["values"]] = n
+            else:
+                self.host_counts.pop(e["values"], None)
+
+    def set_blocks(self, materialized: "rd.MaterializedDataset") -> None:
+        """Repoint the store at a materialized dataset's blocks (Arrow
+        blocks; counts from block metadata — no data pull)."""
+        self.refs, self.block_counts = [], []
+        for b in materialized.iter_internal_ref_bundles():
+            for ref, meta in b.blocks:
+                n = meta.num_rows or 0
+                if n:
+                    self.refs.append(ref)
+                    self.block_counts.append(n)
+
+    def dataset(self) -> rd.Dataset:
+        return rd.from_arrow_refs(list(self.refs))
+
+    def hot_hosts(self, salt_threshold: int, max_salt: int) -> dict[str, int]:
+        return {h: min(max_salt, -(-n // salt_threshold))
+                for h, n in self.host_counts.items() if n > salt_threshold}
+
+    def gather(self) -> pa.Table:
+        """Driver materialization — inspection/small frontiers only."""
+        if not self.refs:
+            return FRONTIER_SCHEMA.empty_table()
+        return pa.concat_tables(
+            [t for t in ray.get(list(self.refs)) if t.num_rows],
+            promote_options="default")
+
 DEFAULT_CONFIG = dict(
     max_depth=0,
     interval_ms=250,
@@ -131,6 +194,12 @@ DEFAULT_CONFIG = dict(
     auth_pass=None,
     custom_headers=None,
     robots_pool_shards=0,   # >0: sharded RobotsShard actors fetch robots.txt
+    frontier_backend="driver",  # "driver": Arrow table on the driver (exact,
+                               # sandbox default); "dataset": queued rows live
+                               # in the object store, dequeue is the salted
+                               # Dataset politeness operator — the 10^10 path
+    salt_threshold=10_000,     # queued rows per host before salting kicks in
+    max_salt=16,               # max sub-buckets per hot host
     # reference API-parity knobs; inert against the synthetic transport
     # (no real sockets to time out / proxy), accepted so a reference
     # user's config ports unchanged (README.md Configuration section)
@@ -180,6 +249,8 @@ class CrawlEngine:
         self.round_no = 0
         self.first_request = True
         self.queued: pa.Table = FRONTIER_SCHEMA.empty_table()
+        self._frontier = (_DatasetFrontier()
+                          if self.cfg["frontier_backend"] == "dataset" else None)
         self.terminal_refs: list = []      # ObjectRefs of fetched arrow tables
         self._manual: list[dict] = []      # manually enqueued candidates
         self._web_ref = None
@@ -263,8 +334,27 @@ class CrawlEngine:
         self.next_seq += n
         self._count("queueadd", n)
         rows = candidates_to_frontier_rows(admitted, seqs, self.round_no)
-        self.queued = pa.concat_tables([self.queued, rows]) if self.queued.num_rows else rows
+        self._queue_add(rows)
         return rows
+
+    def _queue_add(self, rows: pa.Table) -> None:
+        if rows.num_rows == 0:
+            return
+        if self._frontier is not None:
+            self._frontier.add_table(rows)
+        else:
+            self.queued = (pa.concat_tables([self.queued, rows])
+                           if self.queued.num_rows else rows)
+
+    def _queue_num_rows(self) -> int:
+        return (self._frontier.num_rows if self._frontier is not None
+                else self.queued.num_rows)
+
+    def queued_table(self) -> pa.Table:
+        """Driver view of the queued frontier (inspection / small scale;
+        the dataset backend gathers its blocks here)."""
+        return (self._frontier.gather() if self._frontier is not None
+                else self.queued)
 
     def _fetch_robots(self, hosts: set[str]) -> pa.Table | None:
         """Fetch+parse robots.txt for new hosts.  Driver-side by default
@@ -337,10 +427,14 @@ class CrawlEngine:
         """Politeness dequeue (O1): per-host budget of the oldest queued
         rows by seq; budget 0 => whole frontier wave.
 
-        Driver-side vectorized implementation (frontier fits one node in
-        this sandbox).  ``politeness_dequeue_ds`` is the same operator
-        over a Dataset with host-bucket salting — the multi-node path.
+        Driver-side vectorized implementation by default (frontier fits
+        one node in this sandbox); with ``frontier_backend="dataset"``
+        the same operator runs over the object-store-resident frontier
+        with host-bucket salting and the driver only ever holds the
+        wave (the multi-node 10^10 path).
         """
+        if self._frontier is not None:
+            return self._dequeue_wave_ds()
         q = self.queued
         budget = self.cfg["host_budget_per_round"]
         if q.num_rows == 0:
@@ -360,9 +454,48 @@ class CrawlEngine:
     def _cap_wave(self, wave: pa.Table) -> pa.Table:
         cap = self.cfg["max_wave_rows"]
         if cap and wave.num_rows > cap:
-            self.queued = (pa.concat_tables([wave.slice(cap), self.queued])
-                           if self.queued.num_rows else wave.slice(cap))
+            overflow = wave.slice(cap)
+            if self._frontier is not None:
+                self._frontier.add_table(overflow)
+            else:
+                self.queued = (pa.concat_tables([overflow, self.queued])
+                               if self.queued.num_rows else overflow)
             return wave.slice(0, cap)
+        return wave
+
+    def _dequeue_wave_ds(self) -> pa.Table:
+        """Dataset-backend dequeue: salted politeness (budget > 0) or
+        global-oldest-W (budget 0 + max_wave_rows); the remainder is
+        re-pinned as block refs, never gathered."""
+        from ..stages.politeness import dequeue_oldest_ds, politeness_dequeue_ds
+
+        fr = self._frontier
+        if fr.num_rows == 0:
+            return FRONTIER_SCHEMA.empty_table()
+        ds = fr.dataset()
+        budget = self.cfg["host_budget_per_round"]
+        cap = self.cfg["max_wave_rows"]
+        if budget:
+            hot = fr.hot_hosts(self.cfg["salt_threshold"], self.cfg["max_salt"])
+            wave, remainder, requeue = politeness_dequeue_ds(ds, budget, hot)
+            fr.set_blocks(remainder.materialize())
+            # host-count bookkeeping: wave+requeue left the store; what
+            # returns (salt spill, cap overflow) is re-added by add_table
+            fr.subtract_hosts(wave)
+            if requeue.num_rows:
+                fr.subtract_hosts(requeue)
+                fr.add_table(requeue)
+            if cap and wave.num_rows > cap:
+                fr.add_table(wave.slice(cap))
+                wave = wave.slice(0, cap)
+        else:
+            wave, remainder = dequeue_oldest_ds(ds, cap)
+            fr.set_blocks(remainder.materialize())
+            fr.subtract_hosts(wave)
+        if wave.num_rows:
+            # restore the frontier layout (pandas round-trips in the
+            # dequeue can reorder columns)
+            wave = wave.select([f.name for f in FRONTIER_SCHEMA]).cast(FRONTIER_SCHEMA)
         return wave
 
     # ------------------------------------------------------------- rounds
@@ -672,9 +805,13 @@ class CrawlEngine:
                 self._count(k, v)
             with self._timed("merge"):
                 if new_tables:
-                    merged = pa.concat_tables(new_tables)
-                    self.queued = (pa.concat_tables([self.queued, merged])
-                                   if self.queued.num_rows else merged)
+                    if self._frontier is not None:
+                        for t in new_tables:
+                            self._frontier.add_table(t)
+                    else:
+                        merged = pa.concat_tables(new_tables)
+                        self.queued = (pa.concat_tables([self.queued, merged])
+                                       if self.queued.num_rows else merged)
             if self.cfg["checkpoint_dir"]:
                 with self._timed("checkpoint"):
                     self._checkpoint_state()
@@ -683,6 +820,39 @@ class CrawlEngine:
         return {"fetched": fetched_total, "rounds": self.round_no,
                 "metrics": dict(self.metrics), "sink_dir": sink_dir}
 
+    def _write_queued_state(self, tmp: str) -> None:
+        """Checkpoint the queued frontier: one driver write (driver
+        backend) or one worker-side write per block (dataset backend —
+        queued rows never transit the driver)."""
+        if self._frontier is not None:
+            refs = self._frontier.refs
+            if refs:
+                ray.get([
+                    _write_block.remote(r, os.path.join(tmp, f"queued-{i:04d}.parquet"))
+                    for i, r in enumerate(refs)
+                ])
+            else:
+                pq.write_table(FRONTIER_SCHEMA.empty_table(),
+                               os.path.join(tmp, "queued.parquet"))
+        else:
+            pq.write_table(self.queued, os.path.join(tmp, "queued.parquet"))
+
+    def _load_queued_ckpt(self, last_dir: str) -> pa.Table:
+        """Load a checkpointed frontier into the active backend; returns
+        the driver view (for url_hash seen-replay)."""
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(last_dir, "queued*.parquet")))
+        tables = [pq.read_table(f) for f in files]
+        t = (pa.concat_tables(tables, promote_options="default")
+             if tables else FRONTIER_SCHEMA.empty_table())
+        if self._frontier is not None:
+            for tb in tables:
+                self._frontier.add_table(tb)
+        else:
+            self.queued = t
+        return t
+
     def _checkpoint_state(self) -> None:
         """Turbo-mode checkpoint: queued frontier + counters only (the
         fetched rows are already durably in the sink's round=N parts)."""
@@ -690,7 +860,7 @@ class CrawlEngine:
         rdir = os.path.join(ckpt, f"state-round={self.round_no:05d}")
         tmp = rdir + ".tmp"
         os.makedirs(tmp, exist_ok=True)
-        pq.write_table(self.queued, os.path.join(tmp, "queued.parquet"))
+        self._write_queued_state(tmp)
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
             json.dump({"round": self.round_no, "next_seq": self.next_seq,
                        "first_request": self.first_request,
@@ -717,8 +887,8 @@ class CrawlEngine:
         eng.first_request = meta["first_request"]
         eng.metrics = meta["metrics"]
         eng.cfg["host"] = meta["host"]
-        eng.queued = pq.read_table(os.path.join(last, "queued.parquet"))
-        hashes = [eng.queued.column("url_hash").to_numpy(zero_copy_only=False)]
+        qt = eng._load_queued_ckpt(last)
+        hashes = [qt.column("url_hash").to_numpy(zero_copy_only=False)]
         for part in glob.glob(os.path.join(sink_dir, "round=*", "*.parquet")):
             hashes.append(
                 pq.read_table(part, columns=["url_hash"])
@@ -739,7 +909,7 @@ class CrawlEngine:
             _write_block.remote(r, os.path.join(tmp, f"fetched-{i:04d}.parquet"))
             for i, r in enumerate(fetched_refs)
         ])
-        pq.write_table(self.queued, os.path.join(tmp, "queued.parquet"))
+        self._write_queued_state(tmp)
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
             json.dump({"round": self.round_no, "next_seq": self.next_seq,
                        "first_request": self.first_request,
@@ -762,11 +932,11 @@ class CrawlEngine:
         eng.first_request = meta["first_request"]
         eng.metrics = meta["metrics"]
         eng.cfg["host"] = meta["host"]
-        eng.queued = pq.read_table(os.path.join(last, "queued.parquet"))
+        qt = eng._load_queued_ckpt(last)
         # replay seen from every checkpointed round (fetched + queued)
         import glob as _glob
 
-        hashes = [eng.queued.column("url_hash").to_numpy(zero_copy_only=False)]
+        hashes = [qt.column("url_hash").to_numpy(zero_copy_only=False)]
         for rdir in rounds:
             parts = sorted(
                 _glob.glob(os.path.join(checkpoint_dir, rdir, "fetched*.parquet")))
@@ -804,7 +974,8 @@ class CrawlResult:
         term = self.fetched_table()
         cols = [c for c in term.column_names if c in FRONTIER_SCHEMA.names]
         term = term.select(cols)
-        q = self.engine.queued.select(cols) if self.engine.queued.num_rows else None
+        qt = self.engine.queued_table()
+        q = qt.select(cols) if qt.num_rows else None
         t = pa.concat_tables([term, q]) if q is not None else term
         return t.take(pc.sort_indices(t, sort_keys=[("seq", "ascending")]))
 

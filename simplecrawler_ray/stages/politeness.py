@@ -11,8 +11,10 @@ survive).
 
 The driver engine uses the vectorized in-memory equivalent
 (`CrawlEngine._dequeue_wave`); this module is the Dataset-shaped
-operator for frontiers that do not fit one node, and is what the
-engine swaps in when the queued frontier is a Dataset.
+operator the engine swaps in with ``frontier_backend="dataset"``.
+The driver only ever holds the WAVE (≤ budget × hosts rows, plus the
+over-taken salt spill it re-queues); the remainder stays a Dataset
+whose blocks live in the object store.
 """
 
 from __future__ import annotations
@@ -20,19 +22,38 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 import ray.data as rd
+
+_HELPER_COLS = ["host_salt", "__take"]
+
+
+def _split(take: bool):
+    def fn(batch: pa.Table) -> pa.Table:
+        m = batch.column("__take")
+        if not take:
+            m = pc.invert(m)
+        return batch.filter(m).drop_columns(
+            [c for c in _HELPER_COLS if c in batch.column_names])
+    return fn
 
 
 def politeness_dequeue_ds(
     queued: rd.Dataset,
     budget: int,
     hot_hosts: "dict[str, int] | None" = None,
-) -> tuple[pa.Table, rd.Dataset]:
-    """Return (wave_table, remainder_ds).
+) -> tuple[pa.Table, rd.Dataset, pa.Table]:
+    """Return (wave_table, remainder_ds, requeue_table).
 
     ``hot_hosts``: host -> salt factor k (hosts absent get k=1).  The
-    caller derives it from per-host frontier counts (a cheap
-    ``groupby(host).count()`` or a running estimate).
+    caller derives it from per-host frontier counts (a cheap running
+    estimate; `estimate_hot_hosts` is the from-scratch variant).
+
+    ``requeue_table`` holds the salt over-take (rows a hot host's k
+    buckets collectively took beyond ``budget``): small (< budget per
+    hot host), handed back to the caller's store.  The remainder is
+    NEVER gathered — it's a Dataset over the marked blocks.
     """
     hot = hot_hosts or {}
 
@@ -48,33 +69,88 @@ def politeness_dequeue_ds(
     def take_budget(group: pd.DataFrame) -> pd.DataFrame:
         k = hot.get(group["host"].iloc[0], 1)
         per_bucket = -(-budget // k)  # ceil
-        g = group.sort_values("seq")
-        g = g.copy()
+        g = group.sort_values("seq").copy()
         g["__take"] = np.arange(len(g)) < per_bucket
         return g
 
     salted = queued.map_batches(add_salt, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    marked = salted.groupby("host_salt").map_groups(take_budget,
-                                                    batch_format="pandas")
+    marked = salted.groupby("host_salt").map_groups(
+        take_budget, batch_format="pandas").materialize()
+
     from ..ops import gather_tables
 
-    tables = gather_tables(marked)
-    if not tables:
-        return pa.table({}), queued
-    merged = pa.concat_tables(tables, promote_options="default").to_pandas()
-    taken = merged[merged["__take"]]
-    # enforce the exact per-host cap across salted buckets
-    taken = (taken.sort_values("seq").groupby("host", sort=False)
-             .head(budget))
-    rest = pd.concat([merged[~merged["__take"]],
-                      merged[merged["__take"]].drop(taken.index)])
-    drop_cols = ["host_salt", "__take"]
-    wave = pa.Table.from_pandas(taken.drop(columns=drop_cols),
-                                preserve_index=False)
-    remainder = rd.from_arrow(
-        pa.Table.from_pandas(rest.drop(columns=drop_cols), preserve_index=False))
+    wave_tables = gather_tables(marked.map_batches(_split(True),
+                                                   batch_format="pyarrow"))
+    remainder = marked.map_batches(_split(False), batch_format="pyarrow")
+    if not wave_tables:
+        empty = _empty_like(queued)
+        return empty, remainder, empty
+    wave = pa.concat_tables(wave_tables, promote_options="default")
+    # enforce the exact per-host cap across a hot host's salted buckets
+    df = wave.to_pandas()
+    taken = df.sort_values("seq").groupby("host", sort=False).head(budget)
+    spilled = df.drop(taken.index)
+    wave = pa.Table.from_pandas(taken, preserve_index=False)
+    requeue = pa.Table.from_pandas(spilled, preserve_index=False)
+    return wave, remainder, requeue
+
+
+def dequeue_oldest_ds(queued: rd.Dataset, w: int) -> tuple[pa.Table, rd.Dataset]:
+    """Global W oldest rows by seq (the budget=0 / max_wave_rows path).
+
+    Two thin passes, no full gather: (1) per-block local head-W of the
+    seq column only -> driver merges ≤ W×blocks int64s and picks the
+    global W-th seq as cutoff; (2) filter blocks by the cutoff — wave
+    gathered (exactly ≤W rows, seqs are unique), remainder stays a
+    Dataset.  ``w == 0`` means take everything (small frontiers only).
+    """
+    from ..ops import gather_tables
+
+    mat = queued.materialize()
+    if w <= 0:
+        tables = gather_tables(mat)
+        wave = (pa.concat_tables(tables, promote_options="default")
+                if tables else _empty_like(queued))
+        return wave, rd.from_arrow(wave.schema.empty_table())
+
+    def local_seqs(batch: pa.Table) -> pa.Table:
+        s = np.sort(batch.column("seq").to_numpy(zero_copy_only=False))
+        return pa.table({"seq": pa.array(s[:w], pa.int64())})
+
+    seq_tables = gather_tables(mat.map_batches(local_seqs, batch_format="pyarrow",
+                                               zero_copy_batch=True))
+    all_seqs = (np.sort(np.concatenate(
+        [t.column("seq").to_numpy(zero_copy_only=False) for t in seq_tables]))
+        if seq_tables else np.array([], dtype=np.int64))
+    if len(all_seqs) == 0:
+        empty = _empty_like(queued)
+        return empty, rd.from_arrow(empty.schema.empty_table())
+    cutoff = int(all_seqs[min(w, len(all_seqs)) - 1])
+
+    def keep(flag: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            m = pc.less_equal(batch.column("seq"), cutoff)
+            return batch.filter(m if flag else pc.invert(m))
+        return fn
+
+    wave_tables = gather_tables(mat.map_batches(keep(True), batch_format="pyarrow",
+                                                zero_copy_batch=True))
+    wave = pa.concat_tables(wave_tables, promote_options="default")
+    wave = wave.take(pc.sort_indices(wave, sort_keys=[("seq", "ascending")]))
+    remainder = mat.map_batches(keep(False), batch_format="pyarrow",
+                                zero_copy_batch=True)
     return wave, remainder
+
+
+def _empty_like(ds: rd.Dataset) -> pa.Table:
+    from ..schemas import FRONTIER_SCHEMA
+
+    try:
+        sch = ds.schema()
+        return pa.schema(list(zip(sch.names, sch.types))).empty_table()
+    except Exception:
+        return FRONTIER_SCHEMA.empty_table()
 
 
 def estimate_hot_hosts(queued: rd.Dataset, salt_threshold: int = 10_000,

@@ -353,14 +353,15 @@ def test_politeness_dequeue_ds_salted():
             seq += 1
     t = pa.Table.from_pylist(rows)
     ds = rd.from_arrow([t.slice(o, 10) for o in range(0, t.num_rows, 10)])
-    wave, rest = politeness_dequeue_ds(ds, budget=4, hot_hosts={"hot.test": 4})
+    wave, rest, requeue = politeness_dequeue_ds(ds, budget=4,
+                                                hot_hosts={"hot.test": 4})
     wdf = wave.to_pandas()
     per_host = wdf.groupby("host")["seq"].apply(list).to_dict()
     assert len(per_host.get("hot.test", [])) == 4
     assert per_host["a.test"] == sorted(per_host["a.test"])
     assert len(per_host["a.test"]) == 3  # under budget: all taken
     assert len(per_host["b.test"]) == 4
-    assert wave.num_rows + rest.count() == 58
+    assert wave.num_rows + rest.count() + requeue.num_rows == 58
     # hot host's taken rows are its 4 oldest within salted fairness caps
     assert all(s < 50 for s in per_host["hot.test"])
 
@@ -477,4 +478,66 @@ def test_turbo_parity_with_conformance(tmp_path):
     # in-band counters survive (no metrics actor race)
     assert out["metrics"]["fetchredirect"] >= 1
     assert out["metrics"]["queueadd"] > 0
+    eng2.seen.shutdown()
+
+
+def test_dataset_frontier_wave_equivalence(tmp_path):
+    """frontier_backend='dataset' dequeues the same waves as the driver
+    backend (same budget, same seeded frontier): per-host budget exact,
+    FIFO by seq, identical URL sets per round."""
+    def waves(backend):
+        sw = ScaleWeb(n_pages=30, n_hosts=3, out_degree=0)
+        eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False,
+                          seen_shards=2, store_body=False,
+                          host_budget_per_round=2,
+                          frontier_backend=backend)
+        eng.seed_frontier([sw.url_of(i) for i in range(30)])
+        out = []
+        while True:
+            wave = eng._dequeue_wave()
+            if wave.num_rows == 0:
+                break
+            out.append(sorted(wave.column("url").to_pylist()))
+        eng.seen.shutdown()
+        return out
+
+    assert waves("driver") == waves("dataset")
+
+
+def test_turbo_dataset_frontier_fetches_everything(tmp_path):
+    """Full turbo crawl over the object-store frontier: driver never
+    holds more than one wave; everything still fetched exactly once."""
+    sw = ScaleWeb(n_pages=60, n_hosts=4, out_degree=3)
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, batch_size=16,
+                      frontier_backend="dataset", max_wave_rows=20)
+    out = eng.run_turbo(str(tmp_path / "sink"), max_rounds=60)
+    assert out["fetched"] == 60
+    import ray.data as rd
+
+    t = rd.read_parquet(str(tmp_path / "sink")).to_pandas()
+    assert t["url"].nunique() == 60
+    eng.seen.shutdown()
+
+
+def test_turbo_dataset_frontier_checkpoint_resume(tmp_path):
+    sw = ScaleWeb(n_pages=40, n_hosts=3, out_degree=2)
+    sink = str(tmp_path / "sink")
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, batch_size=16,
+                      frontier_backend="dataset", max_wave_rows=10,
+                      checkpoint_dir=str(tmp_path / "ck"))
+    eng.seed_frontier([sw.url_of(i) for i in range(40)])
+    out1 = eng.run_turbo(sink, max_rounds=2)
+    eng.seen.shutdown()
+    eng2 = CrawlEngine.resume_turbo(sw, sw.url_of(0), str(tmp_path / "ck"), sink,
+                                    filter_by_domain=False, seen_shards=2,
+                                    store_body=False, batch_size=16,
+                                    frontier_backend="dataset", max_wave_rows=10)
+    out2 = eng2.run_turbo(sink, max_rounds=60)
+    import ray.data as rd
+
+    t = rd.read_parquet(sink).to_pandas()
+    assert t["url"].nunique() == 40
+    assert out1["fetched"] + out2["fetched"] >= 40
     eng2.seen.shutdown()
