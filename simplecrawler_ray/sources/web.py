@@ -52,9 +52,15 @@ class WebResponse:
     # image+caption pages (the corpus model): body = image payload,
     # caption = the text the crawler parses for out-links
     caption: Optional[str] = None
+    # real transports set this from the Content-Length HEADER when the
+    # body was not (fully) read — e.g. the streaming oversize abort
+    # (crawler.ts:1725-1752); None => len(body)
+    content_length_override: Optional[int] = None
 
     @property
     def content_length(self) -> int:
+        if self.content_length_override is not None:
+            return self.content_length_override
         return len(self.body)
 
 
