@@ -180,9 +180,11 @@ class CandidateProcessor:
                     "port": row.port, "protocol": row.protocol, "depth": depth,
                     "referrer": row.referrer,
                 }
+                from ..conditions import eval_condition
+
                 for cond in self.fetch_conditions:
                     try:
-                        ok = cond(qi)
+                        ok = eval_condition(cond, qi)
                     except Exception:
                         reason = "fetchconditionerror"
                         break

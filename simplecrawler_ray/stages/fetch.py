@@ -257,10 +257,14 @@ class Fetcher:
             if 200 <= resp.code < 300:
                 vetoed = False
                 errored = False
+                from ..conditions import eval_condition
+
                 for cond in self.download_conditions:
                     try:
-                        if not cond({"url": url, "host": hosts[i], "path": paths[i],
-                                     "code": resp.code, "content_type": ct}):
+                        if not eval_condition(
+                                cond,
+                                {"url": url, "host": hosts[i], "path": paths[i],
+                                 "code": resp.code, "content_type": ct}):
                             vetoed = True
                             break
                     except Exception:

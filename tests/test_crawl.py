@@ -541,3 +541,57 @@ def test_turbo_dataset_frontier_checkpoint_resume(tmp_path):
     assert t["url"].nunique() == 40
     assert out1["fetched"] + out2["fetched"] >= 40
     eng2.seen.shutdown()
+
+
+def test_async_fetch_condition_veto(web):
+    """conditions.integration.spec.ts:18-101 — async (coroutine)
+    conditions veto candidates like sync ones."""
+    async def no_stage2(qi):
+        return "stage2" not in qi["path"]
+
+    eng, res = run(web, SEED, fetch_conditions=[no_stage2])
+    urls = set(res.fetched_table().column("url").to_pylist())
+    assert "http://127.0.0.1:3000/stage2" not in urls
+    assert res.metrics.get("fetchprevented", 0) >= 1
+    eng.seen.shutdown()
+
+
+def test_async_fetch_condition_error(web):
+    """conditions.integration.spec.ts:150-253 — async error ->
+    fetchconditionerror, candidate dropped."""
+    async def broken(qi):
+        raise RuntimeError("async boom")
+
+    eng, res = run(web, SEED, fetch_conditions=[broken])
+    assert res.metrics.get("fetchconditionerror", 0) >= 1
+    eng.seen.shutdown()
+
+
+def test_callback_fetch_condition(web):
+    """Callback-style (arity-2) conditions: done(error, decision)."""
+    def cb_no_stage2(qi, done):
+        done(None, "stage2" not in qi["path"])
+
+    def cb_error(qi, done):
+        done("callback said no")
+
+    eng, res = run(web, SEED, fetch_conditions=[cb_no_stage2])
+    urls = set(res.fetched_table().column("url").to_pylist())
+    assert "http://127.0.0.1:3000/stage2" not in urls
+    eng.seen.shutdown()
+
+    eng, res = run(web, SEED, fetch_conditions=[cb_error])
+    assert res.metrics.get("fetchconditionerror", 0) >= 1
+    eng.seen.shutdown()
+
+
+def test_async_download_condition(web):
+    async def only_html(qi):
+        return "css" not in qi["content_type"]
+
+    eng, res = run(web, "http://127.0.0.1:3000/depth/1",
+                   download_conditions=[only_html])
+    t = res.fetched_table()
+    st = dict(zip(t.column("url").to_pylist(), t.column("status").to_pylist()))
+    assert any(s == "downloadprevented" for s in st.values())
+    eng.seen.shutdown()
