@@ -227,34 +227,58 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         cand = cand.sort_values(["id_a", "id_b"])
         return pa.Table.from_pandas(cand, preserve_index=False)
 
-    # exact verify: broadcast the doc texts, check candidate pairs per batch
+    # exact verify with NO full-corpus broadcast (round-1 scale debt):
+    # hash-join the candidate pairs against per-doc shingle rows by
+    # id_a then id_b — only the candidates' shingle sets co-locate,
+    # and the doc texts never leave their source blocks
+    from ..ops import hash_join
+
     shingle_k = 3
-    texts_ref = ray.put({
-        r[id_col]: (r["text"] or "") for t in gather_tables(
-            ds.map_batches(lambda b: b.select([id_col, "text"]),
-                           batch_format="pyarrow", zero_copy_batch=True))
-        for r in t.to_pylist()
-    })
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        # shingle sets ride the join as int64 binary blobs (the native
+        # hash join rejects list<> non-key fields)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column("text").to_pylist()
+        sets = [np.fromiter(_shingles(t or "", shingle_k), dtype=np.int64).tobytes()
+                for t in texts]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "shingles": pa.array(sets, pa.binary())})
+
+    sh_ds = ds.map_batches(
+        lambda b: shingle_rows(b.select([id_col, "text"])),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    sh_a = sh_ds.map_batches(
+        lambda b: b.rename_columns(["id_a", "sh_a"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sh_b = sh_ds.map_batches(
+        lambda b: b.rename_columns(["id_b", "sh_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    cand_t = pa.Table.from_pandas(cand, preserve_index=False)
+    cand_ds = rd.from_arrow(
+        [cand_t.slice(o, 4096) for o in range(0, cand_t.num_rows, 4096)])
+    joined = hash_join(
+        hash_join(cand_ds, sh_a, on="id_a", n_buckets=4,
+                  aggregator_num_cpus=0.25),
+        sh_b, on="id_b", n_buckets=4, aggregator_num_cpus=0.25)
 
     def verify_batch(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
-        cache: dict[int, set] = {}
-
-        def sh(i):
-            if i not in cache:
-                cache[i] = _shingles(texts.get(i, ""), shingle_k)
-            return cache[i]
-
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
-        jac = [ngram_jaccard_sets(sh(x), sh(y)) for x, y in zip(a, b)]
-        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        a_sets = [set(np.frombuffer(x or b"", dtype=np.int64))
+                  for x in batch.column("sh_a").to_pylist()]
+        b_sets = [set(np.frombuffer(y or b"", dtype=np.int64))
+                  for y in batch.column("sh_b").to_pylist()]
+        jac = [ngram_jaccard_sets(x, y) for x, y in zip(a_sets, b_sets)]
+        out = pa.table({
+            "id_a": batch.column("id_a"),
+            "id_b": batch.column("id_b"),
+            "jaccard": pa.array(jac, pa.float64()),
+        })
         return out.filter(pa.compute.greater_equal(out.column("jaccard"),
                                                    jaccard_threshold))
 
-    cand_ds = rd.from_arrow(pa.Table.from_pandas(cand, preserve_index=False))
-    verified = gather_tables(cand_ds.map_batches(
-        verify_batch, batch_format="pyarrow", zero_copy_batch=True))
+    verified = gather_tables(joined.map_batches(
+        verify_batch, batch_format="pyarrow"))
     if not verified:
         return empty
     out = pa.concat_tables(verified, promote_options="default").to_pandas()
