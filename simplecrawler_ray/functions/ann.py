@@ -49,16 +49,53 @@ def knn_bruteforce(ds: rd.Dataset, query: np.ndarray, k: int = 10,
     return pa.Table.from_pandas(merged, preserve_index=False)
 
 
+@ray.remote
+def _list_ids_of(block) -> list[int]:
+    # blocks may arrive as pandas (map_groups output) or Arrow; empty
+    # blocks may carry no columns at all
+    if isinstance(block, pd.DataFrame):
+        return [] if "list_id" not in block.columns else [int(x) for x in block["list_id"]]
+    if "list_id" not in block.column_names:
+        return []
+    return block.column("list_id").to_pylist()
+
+
+@ray.remote
+def _search_list(block, row: int, q: np.ndarray, k: int):
+    """Scan one inverted list (one packed row of a block) worker-side."""
+    if isinstance(block, pd.DataFrame):
+        ids_b = block["ids"].iloc[row]
+        dim = int(block["dim"].iloc[row])
+        vecs_b = block["vecs"].iloc[row]
+    else:
+        ids_b = block.column("ids")[row].as_py()
+        dim = int(block.column("dim")[row].as_py())
+        vecs_b = block.column("vecs")[row].as_py()
+    ids = np.frombuffer(ids_b, dtype=np.int64)
+    vecs = np.frombuffer(vecs_b, dtype=np.float32).reshape(-1, dim)
+    sims = (vecs @ q.T).ravel()
+    order = np.lexsort((ids, -sims))[:k]
+    return ids[order], sims[order]
+
+
 class IvfIndex:
-    """IVF coarse index: centroids trained on a driver-side sample, the
-    partition step is a single distributed pass."""
+    """IVF coarse index: centroids trained on a driver-side sample; the
+    inverted lists live in the Ray OBJECT STORE, not on the driver —
+    fit() shuffles (id, vec, list_id) once via groupby(list_id) and the
+    driver keeps only ``{list_id: (block_ref, row)}`` pointers, so its
+    memory is independent of corpus size (round-1 scale debt: the old
+    index was a driver-resident dict of every vector).  search() probes
+    the nprobe nearest lists with one remote scan task each and merges
+    nprobe×k rows."""
 
     def __init__(self, n_lists: int = 16, seed: int = 42, iters: int = 10):
         self.n_lists = n_lists
         self.seed = seed
         self.iters = iters
         self.centroids: np.ndarray | None = None
-        self._partitions: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # list_id -> (packed block ObjectRef, row index within block)
+        self._list_refs: dict[int, tuple] = {}
+        self._packed = None  # keeps the materialized blocks alive
 
     def fit(self, ds: rd.Dataset, emb_col: str = "embedding",
             id_col: str = "vec_id", sample_n: int = 10_000) -> "IvfIndex":
@@ -83,39 +120,46 @@ class IvfIndex:
                              emb_col: batch.column(emb_col),
                              "list_id": pa.array(lst)})
 
-        assigned = ds.map_batches(assign_batch, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-        # one shuffle: co-locate each inverted list
-        from ..ops import gather_tables
+        def pack(group: pd.DataFrame) -> pd.DataFrame:
+            # one packed row per inverted list: ids + L2-normalized vecs
+            # as contiguous blobs (scan-ready, no per-row object refs)
+            ids = group[id_col].to_numpy(dtype=np.int64)
+            vecs = _normalize(np.stack(group[emb_col].to_list()).astype(np.float32))
+            return pd.DataFrame({
+                "list_id": [int(group["list_id"].iloc[0])],
+                "n": [len(ids)],
+                "dim": [vecs.shape[1]],
+                "ids": [ids.tobytes()],
+                "vecs": [vecs.tobytes()],
+            })
 
-        for t in gather_tables(assigned):
-            df = t.to_pandas()
-            for lid, g in df.groupby("list_id"):
-                ids = g[id_col].to_numpy()
-                vecs = _normalize(np.stack(g[emb_col].to_list()).astype(np.float32))
-                if lid in self._partitions:
-                    pids, pvecs = self._partitions[lid]
-                    self._partitions[lid] = (np.concatenate([pids, ids]),
-                                             np.concatenate([pvecs, vecs]))
-                else:
-                    self._partitions[lid] = (ids, vecs)
+        # one shuffle co-locates each inverted list; blocks stay in the
+        # object store — the driver reads only the tiny list_id column
+        self._packed = (
+            ds.map_batches(assign_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("list_id")
+            .map_groups(pack, batch_format="pandas")
+            .materialize()
+        )
+        self._list_refs = {}
+        for ref in self._packed.to_arrow_refs():
+            for i, lid in enumerate(ray.get(_list_ids_of.remote(ref))):
+                self._list_refs[int(lid)] = (ref, i)
         return self
 
     def search(self, query: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
         q = _normalize(np.asarray(query, dtype=np.float32).reshape(1, -1))
         probes = (q @ self.centroids.T).ravel().argsort()[::-1][:nprobe]
-        ids_all, sims_all = [], []
+        futures = []
         for lid in probes:
-            part = self._partitions.get(int(lid))
-            if part is None:
-                continue
-            ids, vecs = part
-            sims = (vecs @ q.T).ravel()
-            ids_all.append(ids)
-            sims_all.append(sims)
-        if not ids_all:
+            ptr = self._list_refs.get(int(lid))
+            if ptr is not None:
+                futures.append(_search_list.remote(ptr[0], ptr[1], q, k))
+        if not futures:
             return pd.DataFrame({"vec_id": [], "cos": []})
-        ids = np.concatenate(ids_all)
-        sims = np.concatenate(sims_all)
+        results = ray.get(futures)
+        ids = np.concatenate([r[0] for r in results])
+        sims = np.concatenate([r[1] for r in results])
         order = np.lexsort((ids, -sims))[:k]
         return pd.DataFrame({"vec_id": ids[order], "cos": sims[order].astype(float)})

@@ -237,3 +237,27 @@ def test_groupby_agg_exact_decimal_sums():
     for k, cents in expected.items():
         exact = cents / 100  # correctly-rounded double of the exact rational
         assert a[k] == exact and b[k] == exact
+
+
+def test_ivf_matches_bruteforce_topk():
+    """IVF with nprobe=n_lists is exhaustive -> must equal brute force;
+    the inverted lists live in the object store, not on the driver."""
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.ann import IvfIndex, knn_bruteforce
+
+    rng = __import__("numpy").random.default_rng(3)
+    import numpy as np
+
+    n, d = 2000, 16
+    vecs = rng.normal(size=(n, d)).astype("float32")
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs])})
+    ds = rd.from_arrow([t.slice(o, 256) for o in range(0, n, 256)])
+    q = vecs[7]
+    brute = knn_bruteforce(ds, q, k=10).to_pandas()
+    idx = IvfIndex(n_lists=8).fit(ds)
+    assert not idx.__dict__.get("_partitions")  # no driver-resident vectors
+    ivf = idx.search(q, k=10, nprobe=8)
+    assert list(ivf["vec_id"]) == list(brute["vec_id"])
+    np.testing.assert_allclose(ivf["cos"], brute["cos"], atol=1e-5)
