@@ -253,6 +253,7 @@ class CrawlEngine:
                           if self.cfg["frontier_backend"] == "dataset" else None)
         self.terminal_refs: list = []      # ObjectRefs of fetched arrow tables
         self._manual: list[dict] = []      # manually enqueued candidates
+        self._wait_handles: list[dict] = []  # open wait() completion holds
         self._web_ref = None
         self.timings: dict[str, float] = {}  # per-phase seconds (profiling)
 
@@ -278,6 +279,58 @@ class CrawlEngine:
         same canonicalize/filter/dedup pipeline next round."""
         self._manual.append(dict(candidate=url, referrer_url=referrer_url,
                                  referrer_depth=referrer_depth, forced=force))
+
+    def update_queued(self, seq: int, updates: dict) -> dict:
+        """FetchQueue.update parity (src/queue.ts:157-174): deep-assign
+        nested updates into a queued row by seq between rounds.  Driver
+        frontier backend only (the dataset backend's rows are immutable
+        blocks; freeze/defrost to patch at rest)."""
+        if self._frontier is not None:
+            raise NotImplementedError(
+                "update_queued requires frontier_backend='driver'")
+        from ..queue_api import FrontierQueue
+
+        idx = pc.index(self.queued.column("seq"), pa.scalar(seq)).as_py()
+        if idx < 0:
+            raise KeyError(f"no queued row with seq {seq}")
+        q = FrontierQueue(self.queued)
+        row = q.update(idx, updates)
+        self.queued = q._data
+        return row
+
+    def wait(self) -> Callable[[], None]:
+        """Async-listener completion barrier (T6, crawler.ts:1140-1160):
+        returns a ``done()`` handle.  ``run()`` will not declare the
+        crawl complete while a handle is open; a handle older than
+        ``listener_ttl`` ms is force-expired (reference TTL semantics).
+        Listeners typically ``enqueue(...)`` from another thread, then
+        call ``done()``."""
+        import time as _t
+
+        h = {"t0": _t.monotonic(), "done": False}
+        self._wait_handles.append(h)
+
+        def done() -> None:
+            h["done"] = True
+
+        return done
+
+    def _drain_waits(self) -> bool:
+        """Poll open wait() handles until all are done/expired or a
+        manual enqueue arrives.  Returns True if new work appeared."""
+        import time as _t
+
+        ttl_s = self.cfg["listener_ttl"] / 1000.0
+        while True:
+            self._wait_handles = [
+                h for h in self._wait_handles
+                if not h["done"] and (_t.monotonic() - h["t0"]) < ttl_s
+            ]
+            if self._manual:
+                return True
+            if not self._wait_handles:
+                return False
+            _t.sleep(0.005)
 
     def seed_frontier(self, urls: list[str]) -> int:
         """Bulk-enqueue a synthetic frontier (FIXTURES §7) through the
@@ -716,6 +769,10 @@ class CrawlEngine:
             progressed = self._run_round()
             self.round_no += 1
             if not progressed and not self._manual:
+                # T6: open wait() handles hold completion (until done()
+                # or listener_ttl); new manual enqueues resume rounds
+                if self._wait_handles and self._drain_waits():
+                    continue
                 break
         self._count("complete")
         return CrawlResult(self)

@@ -155,6 +155,33 @@ class FrontierQueue:
             raise IndexError("Index was greater than the queue's length")
         return rows[index]
 
+    def update(self, index: int, updates: dict) -> dict:
+        """Point update by queue position with deep-assign semantics
+        (src/queue.ts:157-174): nested ``stateData`` keys map onto the
+        flattened ``state_*`` columns; unknown fields raise (the
+        reference rejects them with an error callback).  Returns the
+        updated row.  Driver-table backend only — the engine's own
+        round pipeline never mutates rows (J3 lineage columns); this is
+        the user-facing API for ported queue-manipulating code."""
+        if not self._is_table:
+            raise NotImplementedError(
+                "update() needs the driver-table queue backend; gather the "
+                "frontier (freeze/defrost) to patch rows, or use the "
+                "engine's candidate/lineage pipeline")
+        t = self._table()
+        if index >= t.num_rows:
+            raise IndexError("Index was greater than the queue's length")
+        flat = _flatten_comparator(updates)
+        for col, val in flat.items():
+            if col not in t.column_names:
+                raise KeyError(f"unknown column {col!r}")
+            vals = t.column(col).to_pylist()
+            vals[index] = val
+            t = t.set_column(t.schema.get_field_index(col), col,
+                             pa.array(vals, t.schema.field(col).type))
+        self._data = t
+        return self.get(index)
+
     def get_length(self) -> int:
         return self._data.num_rows if self._is_table else self._data.count()
 
@@ -192,6 +219,17 @@ class FrontierQueue:
         """url_hash column for seen-set replay on defrost."""
         t = self._table() if self._is_table else gather_concat(self._data)
         return t.column("url_hash").to_numpy(zero_copy_only=False)
+
+
+def deep_assign(target: dict, updates: dict) -> dict:
+    """Reference ``deepAssign`` parity (src/queue.ts:157-174 update
+    path): nested dicts merge recursively, scalars overwrite."""
+    for k, v in updates.items():
+        if isinstance(v, dict) and isinstance(target.get(k), dict):
+            deep_assign(target[k], v)
+        else:
+            target[k] = v
+    return target
 
 
 def ray_get_all(ds) -> list[pa.Table]:

