@@ -473,10 +473,25 @@ def _q_docs_fingerprint(sf_dir: str):
 
 
 def _q_embed_dup_pairs(sf_dir: str):
+    # threshold 0.45: the synthetic embeddings are random (max off-diag
+    # cos ~0.51 at sf0.01), so 0.95 can never fire; 0.45 deterministically
+    # yields pairs via the exact small-corpus path (recall 1)
     from simplecrawler_ray.functions.dedup import embedding_dup_pairs
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, threshold=0.95, n_planes=6)
+    t = embedding_dup_pairs(ds, threshold=0.45, n_planes=6)
+    df = t.to_pandas()
+    df["cos"] = df["cos"].round(6)
+    return df.reset_index(drop=True)
+
+
+def _q_docs_simhash_pairs(sf_dir: str):
+    from simplecrawler_ray.functions.dedup import SimHasher, simhash_near_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2,
+                            zero_copy_batch=True)
+    return simhash_near_dup_pairs(hashed, max_hamming=12)
 
 
 def _q_embed_knn_ivf(sf_dir: str):
@@ -523,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_scaleweb": _q_crawl_scaleweb,
         "q_docs_minhash_pairs": _q_docs_minhash_pairs,
         "q_docs_simhash": _q_docs_simhash,
+        "q_docs_simhash_pairs": _q_docs_simhash_pairs,
         "q_docs_langid": _q_docs_langid,
         "q_docs_fingerprint": _q_docs_fingerprint,
         "q_embed_dup_pairs": _q_embed_dup_pairs,

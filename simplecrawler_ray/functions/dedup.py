@@ -29,6 +29,20 @@ from ..ops import groupby_agg
 _TOKEN_RE = re.compile(r"\w+")
 
 
+def _gather_ds(ds) -> list[pa.Table]:
+    from ..ops import gather_tables
+
+    return gather_tables(ds)
+
+
+def _gather(ds, cols) -> list[pa.Table]:
+    from ..ops import gather_tables
+
+    return gather_tables(ds.map_batches(lambda b: b.select(cols),
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True))
+
+
 def _stable_hash64(data: "str|bytes") -> int:
     """Process-stable 64-bit hash (Python's builtin hash() is salted per
     process — useless across Ray workers)."""
@@ -289,34 +303,100 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
 # ---------------------------------------------------------------- simhash
 
 class SimHasher:
+    """Stateful stage: a worker-lifetime token->hash cache (natural-text
+    vocabularies are tiny vs token counts, so the blake2b cost is paid
+    ~once per distinct token per worker, not per occurrence) and fully
+    vectorized bit-vote accumulation."""
+
     def __init__(self, seed: int = 42):
         self.seed = seed
+        self._token_cache: dict[str, int] = {}
 
-    def _hash64(self, token: str) -> np.uint64:
-        import hashlib, struct
+    def _hash64(self, token: str) -> int:
+        h = self._token_cache.get(token)
+        if h is None:
+            import hashlib, struct
 
-        return np.uint64(struct.unpack(
-            "<Q", hashlib.blake2b(token.encode(), digest_size=8,
-                                  salt=b"simhash_") .digest())[0])
+            h = struct.unpack(
+                "<Q", hashlib.blake2b(token.encode(), digest_size=8,
+                                      salt=b"simhash_").digest())[0]
+            self._token_cache[token] = h
+        return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        out = []
+        out = np.zeros(len(texts), dtype=np.int64)
         bitcols = np.arange(64, dtype=np.uint64)
-        for t in texts:
-            toks = _TOKEN_RE.findall((t or "").lower())
+        weights = (np.uint64(1) << bitcols).astype(np.uint64)
+        for n, t in enumerate(texts):
+            toks = set(_TOKEN_RE.findall((t or "").lower()))
             if not toks:
-                out.append(0)
                 continue
-            hs = np.array([self._hash64(tok) for tok in set(toks)], dtype=np.uint64)
+            hs = np.fromiter((self._hash64(tok) for tok in toks),
+                             dtype=np.uint64, count=len(toks))
             bits = ((hs[:, None] >> bitcols[None, :]) & np.uint64(1)).astype(np.int64)
-            v = (bits * 2 - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for b in range(64):
-                if v[b] > 0:
-                    sh |= np.uint64(1) << np.uint64(b)
-            out.append(int(np.int64(sh)))
+            v = bits.sum(axis=0) * 2 - len(hs)  # per-bit vote
+            out[n] = np.int64(((v > 0).astype(np.uint64) * weights).sum())
         return batch.append_column("simhash", pa.array(out, pa.int64()))
+
+
+def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
+                           id_col: str = "doc_id", seed: int = 42) -> pa.Table:
+    """SimHash near-dup pairs via the rotated-prefix (pigeonhole) trick:
+    a 64-bit simhash is split into ``max_hamming + 1`` chunks — any two
+    hashes within ``max_hamming`` bits must agree on at least one chunk
+    — so candidates come from ``groupby (chunk_index, chunk_value)``
+    buckets (thin rows: id, simhash, chunk), verified exactly by
+    popcount in-bucket.  Same shuffle shape as banded minhash-LSH.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(sh)
+        mask = np.uint64((1 << chunk_bits) - 1)
+        cv = np.concatenate([
+            ((sh >> np.uint64(c * chunk_bits)) & mask).astype(np.int64)
+            for c in range(n_chunks)
+        ])
+        return pa.table({
+            id_col: pa.array(np.tile(ids, n_chunks)),
+            "simhash": pa.array(np.tile(sh.astype(np.int64), n_chunks)),
+            "chunk_i": pa.array(np.repeat(np.arange(n_chunks, dtype=np.int32), n)),
+            "chunk_v": pa.array(cv),
+        })
+
+    def in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        m = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia[m]], "id_b": ids[ib[m]],
+                             "hamming": ham[m]})
+
+    from ..ops import gather_tables
+
+    pairs = (ds.map_batches(to_chunks, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby(["chunk_i", "chunk_v"])
+             .map_groups(in_bucket, batch_format="pandas"))
+    tables = gather_tables(pairs)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if not tables:
+        return empty
+    out = (pa.concat_tables(tables, promote_options="default").to_pandas()
+           .drop_duplicates(subset=["id_a", "id_b"]).sort_values(["id_a", "id_b"]))
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def ngram_jaccard_sets(sa: set, sb: set) -> float:
@@ -335,30 +415,82 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
 
 def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
                         id_col: str = "vec_id", emb_col: str = "embedding",
-                        n_planes: int = 8, seed: int = 42) -> pa.Table:
-    """Cosine near-dup pairs via random-hyperplane LSH bucketing, then
-    exact in-bucket cosine (numpy matmul).  Only (bucket, id, vec) rows
-    shuffle; pairs with cos >= threshold returned (id_a < id_b).
+                        n_planes: int = 8, seed: int = 42,
+                        n_tables: int = 1,
+                        exact_threshold: int = 20_000) -> pa.Table:
+    """Cosine near-dup pairs (id_a < id_b, cos >= threshold).
 
-    Scale note: recall is per-bucket; raise n_tables (re-run with a
-    different seed and union) for higher recall at 10^10 rows.
+    Small corpora (<= ``exact_threshold`` rows) use the EXACT path:
+    the normalized matrix broadcasts once (n x d floats — tiny next to
+    the texts) and each block computes block-vs-all sims; deterministic
+    and recall-1.  Larger corpora use random-hyperplane LSH bucketing
+    with ``n_tables`` independent plane sets unioned (per-bucket recall
+    compounds: miss probability p^n_tables), then exact in-bucket
+    cosine — only (bucket, id, vec) rows shuffle.
     """
+    n_rows = ds.count()
+    if n_rows <= exact_threshold:
+        mat_tables = [t.select([id_col, emb_col])
+                      for t in _gather(ds, [id_col, emb_col])]
+        allt = pa.concat_tables(mat_tables, promote_options="default")
+        ids_all = allt.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.stack(allt.column(emb_col).to_pylist()).astype(np.float32)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        mn = m / norms
+        order = np.argsort(ids_all)
+        ids_all, mn = ids_all[order], mn[order]
+        mn_ref = ray.put((ids_all, mn))
+
+        def block_pairs(batch: pa.Table) -> pa.Table:
+            aids, amat = ray.get(mn_ref)
+            bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            bm = np.stack(batch.column(emb_col).to_pylist()).astype(np.float32)
+            bn = np.linalg.norm(bm, axis=1, keepdims=True)
+            bn[bn == 0] = 1
+            sims = (bm / bn) @ amat.T
+            bi, ai = np.nonzero(sims >= threshold)
+            keep = bids[bi] < aids[ai]  # id_a < id_b, no self/dup pairs
+            return pa.table({
+                "id_a": pa.array(bids[bi[keep]], pa.int64()),
+                "id_b": pa.array(aids[ai[keep]], pa.int64()),
+                "cos": pa.array(sims[bi[keep], ai[keep]].astype(np.float64)),
+            })
+
+        parts = _gather_ds(ds.map_batches(block_pairs, batch_format="pyarrow",
+                                          zero_copy_batch=True))
+        if not parts:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        out = (pa.concat_tables(parts, promote_options="default").to_pandas()
+               .sort_values(["id_a", "id_b"]))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
     first = ds.take(1)
     dim = len(first[0][emb_col])
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(dim, n_planes)).astype(np.float32)
+    planes = np.stack([
+        np.random.default_rng(seed + t).normal(size=(dim, n_planes))
+        for t in range(n_tables)
+    ]).astype(np.float32)  # (n_tables, dim, n_planes)
     planes_ref = ray.put(planes)
 
+    powers = 1 << np.arange(n_planes)
+
     def bucketize(batch: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref)
+        pl = ray.get(planes_ref)  # (n_tables, dim, n_planes)
         embs = np.stack(batch.column(emb_col).to_pylist()).astype(np.float32)
-        bits = (embs @ pl) > 0
-        bucket = bits.dot(1 << np.arange(bits.shape[1])).astype(np.int64)
-        return pa.table({
-            id_col: batch.column(id_col),
-            emb_col: batch.column(emb_col),
-            "bucket": pa.array(bucket),
-        })
+        parts = []
+        for t in range(pl.shape[0]):
+            bits = (embs @ pl[t]) > 0
+            bucket = (bits.dot(powers) + (t << n_planes)).astype(np.int64)
+            parts.append(pa.table({
+                id_col: batch.column(id_col),
+                emb_col: batch.column(emb_col),
+                "bucket": pa.array(bucket),
+            }))
+        return pa.concat_tables(parts)
 
     def in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:

@@ -261,3 +261,55 @@ def test_ivf_matches_bruteforce_topk():
     ivf = idx.search(q, k=10, nprobe=8)
     assert list(ivf["vec_id"]) == list(brute["vec_id"])
     np.testing.assert_allclose(ivf["cos"], brute["cos"], atol=1e-5)
+
+
+def test_simhash_near_dup_pairs():
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.dedup import SimHasher, simhash_near_dup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base,
+             base,  # exact dup -> hamming 0
+             base.replace("dog", "cat"),  # near dup
+             "completely different content about ray data pipelines",
+             "yet another unrelated document with its own words entirely"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow([t.slice(i, 1) for i in range(len(texts))])
+    hashed = ds.map_batches(SimHasher(), batch_format="pyarrow")
+    pairs = simhash_near_dup_pairs(hashed, max_hamming=16).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (0, 1) in got  # exact dup
+    ham = dict(zip(zip(pairs["id_a"], pairs["id_b"]), pairs["hamming"]))
+    assert ham[(0, 1)] == 0
+    assert (3, 4) not in got or ham[(3, 4)] > 0  # unrelated not at 0
+
+
+def test_embedding_dup_pairs_exact_and_lsh_agree():
+    """Planted near-dup vectors: the exact small-corpus path finds them
+    with recall 1; the LSH path (forced via exact_threshold=0) finds
+    them too with enough tables; results agree on the planted pairs."""
+    import numpy as np
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(50, 32)).astype("float32")
+    # plant: vec 50 ~ vec 0, vec 51 ~ vec 1
+    planted = np.vstack([base, base[0] + rng.normal(scale=0.01, size=32),
+                         base[1] + rng.normal(scale=0.01, size=32)]).astype("float32")
+    t = pa.table({"vec_id": pa.array(range(len(planted)), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in planted])})
+    ds = rd.from_arrow([t.slice(o, 16) for o in range(0, len(planted), 16)])
+
+    exact = embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    got = set(zip(exact["id_a"], exact["id_b"]))
+    assert (0, 50) in got and (1, 51) in got
+
+    lsh = embedding_dup_pairs(ds, threshold=0.99, exact_threshold=0,
+                              n_planes=4, n_tables=8).to_pandas()
+    got_lsh = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert (0, 50) in got_lsh and (1, 51) in got_lsh
+    assert got_lsh <= got  # LSH never invents pairs the exact path lacks
