@@ -147,7 +147,7 @@ _JOIN_TYPES = {"inner": "inner", "left": "left_outer",
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: "str|list[str]",
               n_buckets: int = 32, how: str = "inner",
-              suffix: str = "_r", aggregator_num_cpus: float = 0.5) -> rd.Dataset:
+              suffix: str = "_r", aggregator_num_cpus: float = 0.2) -> rd.Dataset:
     """Partitioned hash join for two LARGE sides, via Ray Data's native
     hash-shuffle join operator: both sides are hash-partitioned into
     ``n_buckets`` and each bucket is joined worker-side.  No driver
@@ -160,8 +160,11 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: "str|list[str]",
     left-side names get ``suffix``.
     """
     keys = tuple([on] if isinstance(on, str) else on)
-    # fractional aggregator CPUs: a full CPU per aggregator deadlocks
-    # nested joins / small sessions (n_buckets actors must all schedule)
+    # fractional aggregator CPUs: aggregators reserving >= the session's
+    # CPU count starve the upstream map/read tasks -> deadlock (e.g.
+    # 8 x 0.5 on a 4-CPU pytest session).  0.2 x n_buckets must stay
+    # well below the smallest session this runs in; the reservation only
+    # gates scheduling, not real parallelism once tasks are running
     return left.join(right, _JOIN_TYPES[how], n_buckets, on=keys,
                      right_suffix=suffix,
                      aggregator_ray_remote_args={"num_cpus": aggregator_num_cpus})
