@@ -489,9 +489,11 @@ def _q_docs_simhash_pairs(sf_dir: str):
     from simplecrawler_ray.functions.dedup import SimHasher, simhash_near_dup_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # max_hamming=3 -> 4 chunks of 16 bits: buckets stay tiny on random
+    # text (12 would mean 4-bit chunks = 16 giant buckets per position)
     hashed = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2,
                             zero_copy_batch=True)
-    return simhash_near_dup_pairs(hashed, max_hamming=12)
+    return simhash_near_dup_pairs(hashed, max_hamming=3)
 
 
 def _q_embed_knn_ivf(sf_dir: str):

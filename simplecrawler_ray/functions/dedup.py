@@ -378,7 +378,9 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
         sh = g["simhash"].to_numpy().astype(np.uint64)
         ia, ib = np.triu_indices(len(ids), k=1)
         x = sh[ia] ^ sh[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        # vectorized popcount via byte-view unpackbits
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                            axis=1).sum(axis=1).astype(np.int64)
         m = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[ia[m]], "id_b": ids[ib[m]],
                              "hamming": ham[m]})
