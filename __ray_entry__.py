@@ -507,9 +507,13 @@ def _q_embed_knn_ivf(sf_dir: str):
         dtype=np.float64,
     )
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    idx = IvfIndex(n_lists=8).fit(ds)
-    df = idx.search(qvec, k=20, nprobe=4)
+    # float64 lists + exhaustive probe: exercises the whole IVF machinery
+    # (centroid training, list shuffle, remote scans) while being exact —
+    # so the brute-force SQL oracle applies
+    idx = IvfIndex(n_lists=8, dtype="float64").fit(ds)
+    df = idx.search(qvec, k=20, nprobe=8)
     df["cos"] = df["cos"].round(6)
+    df["vec_id"] = df["vec_id"].astype("int64")
     return df.reset_index(drop=True)
 
 
@@ -685,5 +689,23 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid
             FROM documents
             ORDER BY doc_id
+        """,
+        "q_embed_dup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "q_embed_knn_ivf": """
+            SELECT vec_id,
+                   ROUND(CAST(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 6) AS cos
+            FROM embeddings
+            ORDER BY cos DESC, vec_id
+            LIMIT 20
         """,
     }

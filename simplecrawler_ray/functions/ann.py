@@ -67,12 +67,14 @@ def _search_list(block, row: int, q: np.ndarray, k: int):
         ids_b = block["ids"].iloc[row]
         dim = int(block["dim"].iloc[row])
         vecs_b = block["vecs"].iloc[row]
+        vdt = block["vdtype"].iloc[row]
     else:
         ids_b = block.column("ids")[row].as_py()
         dim = int(block.column("dim")[row].as_py())
         vecs_b = block.column("vecs")[row].as_py()
+        vdt = block.column("vdtype")[row].as_py()
     ids = np.frombuffer(ids_b, dtype=np.int64)
-    vecs = np.frombuffer(vecs_b, dtype=np.float32).reshape(-1, dim)
+    vecs = np.frombuffer(vecs_b, dtype=np.dtype(vdt)).reshape(-1, dim)
     sims = (vecs @ q.T).ravel()
     order = np.lexsort((ids, -sims))[:k]
     return ids[order], sims[order]
@@ -88,10 +90,14 @@ class IvfIndex:
     the nprobe nearest lists with one remote scan task each and merges
     nprobe×k rows."""
 
-    def __init__(self, n_lists: int = 16, seed: int = 42, iters: int = 10):
+    def __init__(self, n_lists: int = 16, seed: int = 42, iters: int = 10,
+                 dtype: str = "float32"):
         self.n_lists = n_lists
         self.seed = seed
         self.iters = iters
+        # float32 halves list memory; float64 makes exhaustive-probe
+        # search bit-match the float64 brute-force/SQL oracle
+        self.dtype = np.dtype(dtype)
         self.centroids: np.ndarray | None = None
         # list_id -> (packed block ObjectRef, row index within block)
         self._list_refs: dict[int, tuple] = {}
@@ -100,7 +106,7 @@ class IvfIndex:
     def fit(self, ds: rd.Dataset, emb_col: str = "embedding",
             id_col: str = "vec_id", sample_n: int = 10_000) -> "IvfIndex":
         sample = ds.limit(sample_n).take_all()
-        x = _normalize(np.stack([r[emb_col] for r in sample]).astype(np.float32))
+        x = _normalize(np.stack([r[emb_col] for r in sample]).astype(self.dtype))
         rng = np.random.default_rng(self.seed)
         c = x[rng.choice(len(x), min(self.n_lists, len(x)), replace=False)]
         for _ in range(self.iters):  # spherical k-means on the sample
@@ -111,10 +117,11 @@ class IvfIndex:
                     c[j] = _normalize(pts.mean(axis=0, keepdims=True))[0]
         self.centroids = c
         c_ref = ray.put(c)
+        vdtype = self.dtype
 
         def assign_batch(batch: pa.Table) -> pa.Table:
             cc = ray.get(c_ref)
-            m = _normalize(np.stack(batch.column(emb_col).to_pylist()).astype(np.float32))
+            m = _normalize(np.stack(batch.column(emb_col).to_pylist()).astype(cc.dtype))
             lst = (m @ cc.T).argmax(axis=1).astype(np.int32)
             return pa.table({id_col: batch.column(id_col),
                              emb_col: batch.column(emb_col),
@@ -124,11 +131,12 @@ class IvfIndex:
             # one packed row per inverted list: ids + L2-normalized vecs
             # as contiguous blobs (scan-ready, no per-row object refs)
             ids = group[id_col].to_numpy(dtype=np.int64)
-            vecs = _normalize(np.stack(group[emb_col].to_list()).astype(np.float32))
+            vecs = _normalize(np.stack(group[emb_col].to_list()).astype(vdtype))
             return pd.DataFrame({
                 "list_id": [int(group["list_id"].iloc[0])],
                 "n": [len(ids)],
                 "dim": [vecs.shape[1]],
+                "vdtype": [vdtype.str],
                 "ids": [ids.tobytes()],
                 "vecs": [vecs.tobytes()],
             })
@@ -149,7 +157,7 @@ class IvfIndex:
         return self
 
     def search(self, query: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
-        q = _normalize(np.asarray(query, dtype=np.float32).reshape(1, -1))
+        q = _normalize(np.asarray(query, dtype=self.dtype).reshape(1, -1))
         probes = (q @ self.centroids.T).ravel().argsort()[::-1][:nprobe]
         futures = []
         for lid in probes:

@@ -436,7 +436,9 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
                       for t in _gather(ds, [id_col, emb_col])]
         allt = pa.concat_tables(mat_tables, promote_options="default")
         ids_all = allt.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        m = np.stack(allt.column(emb_col).to_pylist()).astype(np.float32)
+        # float64: the exact path doubles as the oracle-checked one and
+        # must agree with a float64 SQL cosine to 6 decimals
+        m = np.stack(allt.column(emb_col).to_pylist()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1
         mn = m / norms
@@ -447,7 +449,7 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
         def block_pairs(batch: pa.Table) -> pa.Table:
             aids, amat = ray.get(mn_ref)
             bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            bm = np.stack(batch.column(emb_col).to_pylist()).astype(np.float32)
+            bm = np.stack(batch.column(emb_col).to_pylist()).astype(np.float64)
             bn = np.linalg.norm(bm, axis=1, keepdims=True)
             bn[bn == 0] = 1
             sims = (bm / bn) @ amat.T
