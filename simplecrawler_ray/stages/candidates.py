@@ -125,6 +125,12 @@ class CandidateProcessor:
         robots = ray.get(robots_ref) if isinstance(robots_ref, ray.ObjectRef) else robots_ref
         self.robots: dict[str, RobotsRules] = robots or {}
         self.fetch_conditions = cfg.get("fetch_conditions") or []
+        # canonical-row cache for ABSOLUTE candidates: absolute_to() is a
+        # no-op when the candidate has a scheme, so url/host/port/path are
+        # referrer-independent — popular links (nav bars, rings) repeat
+        # across documents and skip the parse+normalize entirely.  depth
+        # and referrer are recomputed per row below.
+        self._row_cache: dict[str, "object"] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -145,17 +151,27 @@ class CandidateProcessor:
 
         ref_cache: dict[str, Uri] = {}
         domain_cache: dict[str, bool] = {}
+        _unset = ref_cache  # any sentinel distinct from None/UrlRow
         for i in range(n):
             ref = refs[i]
             base = ref_cache.get(ref)
             if base is None:
                 base = Uri.parse(ref or "")
                 ref_cache[ref] = base
-            row = process_url(cands[i], base, rdepths[i], self.canon,
-                              referrer_str=ref)
+            cand = cands[i]
+            absolute = "://" in cand
+            row = self._row_cache.get(cand, _unset) if absolute else _unset
+            if row is _unset:
+                row = process_url(cand, base, rdepths[i], self.canon,
+                                  referrer_str=ref)
+                if absolute:
+                    if len(self._row_cache) > 500_000:
+                        self._row_cache.clear()
+                    self._row_cache[cand] = row
             if row is None:
                 continue  # urijs choke — silently dropped (queueURL:1497-1500)
-            depth = overrides[i] if overrides[i] >= 0 else row.depth
+            # depth/referrer are row-specific (cached rows carry stale ones)
+            depth = overrides[i] if overrides[i] >= 0 else rdepths[i] + 1
             reason = ""
             dv = domain_cache.get(row.host)
             if dv is None:
@@ -178,7 +194,7 @@ class CandidateProcessor:
                 qi = {
                     "url": row.url, "host": row.host, "path": row.path,
                     "port": row.port, "protocol": row.protocol, "depth": depth,
-                    "referrer": row.referrer,
+                    "referrer": ref,
                 }
                 from ..conditions import eval_condition
 
@@ -199,7 +215,7 @@ class CandidateProcessor:
             out["path"].append(row.path)
             out["uri_path"].append(row.uri_path)
             out["depth"].append(depth)
-            out["referrer"].append(row.referrer)
+            out["referrer"].append(ref)
             out["parent_seq"].append(pseqs[i])
             out["pos"].append(poss[i])
             out["forced"].append(bool(forced[i]))

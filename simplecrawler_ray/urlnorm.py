@@ -75,6 +75,11 @@ def clean_url(url: str, referrer_protocol: Optional[str] = None) -> str:
 # --- urijs-compatible URI --------------------------------------------------
 
 _PROTOCOL_EXPR = re.compile(r"^[a-z][a-z0-9.+-]*$", re.I)
+_WEB_SCHEME_SLASHES = re.compile(r"^(https?|ftp|wss?):[/\\]*", re.I)
+
+
+def _scheme_fix(m: "re.Match") -> str:
+    return m.group(1) + "://"
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21", "ws": "80", "wss": "443"}
 
 # encodeURIComponent leaves A-Za-z0-9 -_.!~*'() ; urijs' strict variant
@@ -236,7 +241,7 @@ class Uri:
             u.query = s[pos + 1:] or None
             s = s[:pos]
         # slashes/backslashes lose meaning after web-protocol schemes
-        s = re.sub(r"^(https?|ftp|wss?):[/\\]*", lambda m: m.group(1) + "://", s, flags=re.I)
+        s = _WEB_SCHEME_SLASHES.sub(_scheme_fix, s)
         if s[:2] == "//":
             u.protocol = None
             s = cls._parse_authority(s[2:], u)
