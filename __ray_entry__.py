@@ -443,6 +443,27 @@ def _q_docs_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, num_perm=64, bands=16, jaccard_threshold=0.5)
 
 
+def _q_events_asof(sf_dir: str):
+    """As-of join (ops.asof_join): each event matched to the user's
+    latest order at or before the event timestamp — the DuckDB ASOF
+    JOIN oracle checks it exactly.  Right side deduped to one order per
+    (user, date) with max orderkey so tie-breaking is deterministic on
+    both sides."""
+    import pyarrow.parquet as pq
+
+    from simplecrawler_ray.ops import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = (orders.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
+              .max().rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"}))
+    out = asof_join(ev, orders, key="user_id", ts_col="ts").to_pandas()
+    df = out[["event_id", "o_orderkey"]].copy()
+    df["o_orderkey"] = df["o_orderkey"].fillna(-1).astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_docs_simhash(sf_dir: str):
     from simplecrawler_ray.functions.dedup import SimHasher
 
@@ -543,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_conformance": _q_crawl_conformance,
         "crawl_scaleweb": _q_crawl_scaleweb,
         "q_docs_minhash_pairs": _q_docs_minhash_pairs,
+        "q_events_asof": _q_events_asof,
         "q_docs_simhash": _q_docs_simhash,
         "q_docs_simhash_pairs": _q_docs_simhash_pairs,
         "q_docs_langid": _q_docs_langid,
@@ -689,6 +711,17 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid
             FROM documents
             ORDER BY doc_id
+        """,
+        "q_events_asof": """
+            WITH o AS (
+                SELECT o_custkey AS user_id, o_orderdate AS ots,
+                       MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, COALESCE(o.o_orderkey, -1) AS o_orderkey
+            FROM events e
+            ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ots
+            ORDER BY e.event_id
         """,
         "q_embed_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
