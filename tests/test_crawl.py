@@ -642,3 +642,56 @@ def test_wait_handle_ttl_expires(web):
     assert _t.monotonic() - t0 < 5  # TTL expired the handle; crawl ended
     assert res.metrics["complete"] == 1
     eng.seen.shutdown()
+
+
+def test_dataset_frontier_salted_hot_host(tmp_path):
+    """Engine-level hot-host salting: salt_threshold forces the Zipf
+    head host into sub-buckets; per-host budget stays exact and the
+    salt spill is re-queued, never lost."""
+    rows = []
+    sw = ScaleWeb(n_pages=120, n_hosts=2, out_degree=0)  # host skew via Zipf
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, host_budget_per_round=5,
+                      frontier_backend="dataset", salt_threshold=10, max_salt=4)
+    eng.seed_frontier([sw.url_of(i) for i in range(120)])
+    total = 0
+    rounds = 0
+    while rounds < 60:
+        wave = eng._dequeue_wave()
+        if wave.num_rows == 0:
+            break
+        hosts = wave.column("host").to_pylist()
+        seqs = wave.column("seq").to_pylist()
+        per_host: dict = {}
+        for h, s in zip(hosts, seqs):
+            per_host.setdefault(h, []).append(s)
+        for h, ss in per_host.items():
+            assert len(ss) <= 5, f"budget violated for {h}: {len(ss)}"
+            assert ss == sorted(ss)
+        total += wave.num_rows
+        rounds += 1
+    assert total == 120  # salt spill re-queued, nothing lost
+    eng.seen.shutdown()
+
+
+@pytest.mark.parametrize("budget,cap", [(1, 0), (3, 0), (0, 17), (2, 7)])
+def test_dataset_vs_driver_dequeue_equivalence(budget, cap):
+    """Property: for any (budget, cap) config the dataset dequeue emits
+    the same per-round URL sets as the driver dequeue."""
+    def waves(backend):
+        sw = ScaleWeb(n_pages=40, n_hosts=5, out_degree=0)
+        eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False,
+                          seen_shards=2, store_body=False,
+                          host_budget_per_round=budget, max_wave_rows=cap,
+                          frontier_backend=backend)
+        eng.seed_frontier([sw.url_of(i) for i in range(40)])
+        out = []
+        for _ in range(80):
+            wave = eng._dequeue_wave()
+            if wave.num_rows == 0:
+                break
+            out.append(sorted(wave.column("url").to_pylist()))
+        eng.seen.shutdown()
+        return out
+
+    assert waves("driver") == waves("dataset")
