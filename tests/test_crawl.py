@@ -695,3 +695,16 @@ def test_dataset_vs_driver_dequeue_equivalence(budget, cap):
         return out
 
     assert waves("driver") == waves("dataset")
+
+
+def test_conformance_run_with_dataset_frontier(web):
+    """run() (exact-FIFO conformance mode) produces the same fetched
+    set and seq order over the object-store frontier backend."""
+    eng, res = run(web, SEED)
+    expected = res.fetched_table().column("url").to_pylist()
+    eng.seen.shutdown()
+
+    eng2, res2 = run(web, SEED, frontier_backend="dataset")
+    got = res2.fetched_table().column("url").to_pylist()
+    assert got == expected  # same URLs, same seq order
+    eng2.seen.shutdown()
