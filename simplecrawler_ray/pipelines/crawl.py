@@ -254,6 +254,8 @@ class CrawlEngine:
         self.terminal_refs: list = []      # ObjectRefs of fetched arrow tables
         self._manual: list[dict] = []      # manually enqueued candidates
         self._wait_handles: list[dict] = []  # open wait() completion holds
+        self._cond_seq = 0                 # add/removeFetchCondition ids
+        self._cond_ids: dict[int, tuple] = {}
         self._web_ref = None
         self.timings: dict[str, float] = {}  # per-phase seconds (profiling)
 
@@ -279,6 +281,41 @@ class CrawlEngine:
         same canonicalize/filter/dedup pipeline next round."""
         self._manual.append(dict(candidate=url, referrer_url=referrer_url,
                                  referrer_depth=referrer_depth, forced=force))
+
+    def add_fetch_condition(self, cond) -> int:
+        """addFetchCondition parity (src/crawler.ts:1502-1511): register
+        a predicate (sync / async / callback form, see conditions.py)
+        and return its removal id.  Takes effect from the next round
+        (conditions snapshot per round via cfg broadcast)."""
+        self._cond_seq += 1
+        self.cfg["fetch_conditions"] = ((self.cfg.get("fetch_conditions") or [])
+                                        + [cond])
+        self._cond_ids[self._cond_seq] = ("fetch_conditions", cond)
+        return self._cond_seq
+
+    def add_download_condition(self, cond) -> int:
+        """addDownloadCondition parity (src/crawler.ts:1180-1192)."""
+        self._cond_seq += 1
+        self.cfg["download_conditions"] = ((self.cfg.get("download_conditions")
+                                            or []) + [cond])
+        self._cond_ids[self._cond_seq] = ("download_conditions", cond)
+        return self._cond_seq
+
+    def remove_fetch_condition(self, cond_id: int) -> None:
+        """removeFetchCondition parity (src/crawler.ts:1513-1523):
+        unknown ids raise."""
+        self._remove_condition(cond_id, "fetch_conditions")
+
+    def remove_download_condition(self, cond_id: int) -> None:
+        self._remove_condition(cond_id, "download_conditions")
+
+    def _remove_condition(self, cond_id: int, kind: str) -> None:
+        entry = self._cond_ids.get(cond_id)
+        if entry is None or entry[0] != kind:
+            raise ValueError(
+                f"Unable to find a {kind[:-1]} with id {cond_id}")
+        del self._cond_ids[cond_id]
+        self.cfg[kind] = [c for c in self.cfg[kind] if c is not entry[1]]
 
     def update_queued(self, seq: int, updates: dict) -> dict:
         """FetchQueue.update parity (src/queue.ts:157-174): deep-assign

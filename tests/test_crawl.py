@@ -708,3 +708,25 @@ def test_conformance_run_with_dataset_frontier(web):
     got = res2.fetched_table().column("url").to_pylist()
     assert got == expected  # same URLs, same seq order
     eng2.seen.shutdown()
+
+
+def test_add_remove_fetch_condition(web):
+    """add/removeFetchCondition parity: id-based removal, unknown id
+    raises (src/crawler.ts:1502-1523)."""
+    def no_stage2(qi):
+        return "stage2" not in qi["path"]
+
+    def no_sitemap(qi):
+        return "sitemap" not in qi["path"]
+
+    eng = CrawlEngine(web, SEED, seen_shards=2)
+    cid1 = eng.add_fetch_condition(no_stage2)
+    cid2 = eng.add_fetch_condition(no_sitemap)
+    eng.remove_fetch_condition(cid1)  # stage2 allowed again
+    with pytest.raises(ValueError):
+        eng.remove_fetch_condition(999)
+    res = eng.run(max_rounds=40)
+    urls = set(res.fetched_table().column("url").to_pylist())
+    assert "http://127.0.0.1:3000/stage2" in urls        # removed condition
+    assert "http://127.0.0.1:3000/sitemap.xml" not in urls  # active one
+    eng.seen.shutdown()
