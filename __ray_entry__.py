@@ -443,6 +443,33 @@ def _q_docs_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, num_perm=64, bands=16, jaccard_threshold=0.5)
 
 
+def _q_docs_packing(sf_dir: str):
+    """Sequence packing for LLM training batches: token-count ->
+    deterministic per-partition greedy packing (block-layout
+    independent; see functions/packing.py)."""
+    from simplecrawler_ray.functions.packing import pack_sequences
+    from simplecrawler_ray.functions.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = pack_sequences(ds, max_tokens=512, n_partitions=16).to_pandas()
+    out = out.drop(columns=["doc_ids"])  # list col: summary view is enough
+    return out.sort_values(["partition", "pack_index"]).reset_index(drop=True)
+
+
+def _q_docs_split(sf_dir: str):
+    """Deterministic hash train/val/test split counts per language."""
+    from simplecrawler_ray.functions.packing import add_split_column
+    from simplecrawler_ray.ops import groupby_agg
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    ds = add_split_column(ds, val_frac=0.1, test_frac=0.05)
+    out = groupby_agg(ds, ["lang", "split"], {"n": ("count", "doc_id")})
+    return (out.to_pandas().sort_values(["lang", "split"])
+            .reset_index(drop=True))
+
+
 def _q_events_asof(sf_dir: str):
     """As-of join (ops.asof_join): each event matched to the user's
     latest order at or before the event timestamp — the DuckDB ASOF
@@ -565,6 +592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_scaleweb": _q_crawl_scaleweb,
         "q_docs_minhash_pairs": _q_docs_minhash_pairs,
         "q_events_asof": _q_events_asof,
+        "q_docs_packing": _q_docs_packing,
+        "q_docs_split": _q_docs_split,
         "q_docs_simhash": _q_docs_simhash,
         "q_docs_simhash_pairs": _q_docs_simhash_pairs,
         "q_docs_langid": _q_docs_langid,

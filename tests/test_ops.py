@@ -313,3 +313,51 @@ def test_embedding_dup_pairs_exact_and_lsh_agree():
     got_lsh = set(zip(lsh["id_a"], lsh["id_b"]))
     assert (0, 50) in got_lsh and (1, 51) in got_lsh
     assert got_lsh <= got  # LSH never invents pairs the exact path lacks
+
+
+def test_pack_sequences_invariants():
+    """Packing: every doc appears exactly once, no pack over max_tokens
+    (except single oversized docs), deterministic across runs/blocking."""
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.packing import pack_sequences
+
+    rng = __import__("numpy").random.default_rng(5)
+    n = 500
+    toks = rng.integers(10, 400, n)
+    toks[7] = 900  # oversized doc -> own pack
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "n_tokens": pa.array(toks, pa.int64())})
+
+    def run(block_size):
+        ds = rd.from_arrow([t.slice(o, block_size) for o in range(0, n, block_size)])
+        out = pack_sequences(ds, max_tokens=512, n_partitions=8).to_pandas()
+        return out.sort_values(["partition", "pack_index"]).reset_index(drop=True)
+
+    a = run(100)
+    b = run(37)  # different block boundaries -> identical packing
+    assert a[["partition", "pack_index", "n_docs", "total_tokens"]].equals(
+        b[["partition", "pack_index", "n_docs", "total_tokens"]])
+    all_ids = [i for ids in a["doc_ids"] for i in ids]
+    assert sorted(all_ids) == list(range(n))
+    over = a[a["total_tokens"] > 512]
+    assert (over["n_docs"] == 1).all()  # only oversized singletons exceed
+
+
+def test_add_split_column_stability():
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.packing import add_split_column
+
+    t = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+    ds = rd.from_arrow([t.slice(o, 256) for o in range(0, 2000, 256)])
+    a = add_split_column(ds, val_frac=0.2, test_frac=0.1).to_pandas()
+    # re-sharded input -> identical per-doc split
+    ds2 = rd.from_arrow([t.slice(o, 73) for o in range(0, 2000, 73)])
+    b = add_split_column(ds2, val_frac=0.2, test_frac=0.1).to_pandas()
+    am = dict(zip(a["doc_id"], a["split"]))
+    bm = dict(zip(b["doc_id"], b["split"]))
+    assert am == bm
+    frac_val = (a["split"] == "val").mean()
+    assert 0.15 < frac_val < 0.25  # close to requested 0.2
+    assert set(a["split"]) == {"train", "val", "test"}
