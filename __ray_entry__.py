@@ -443,6 +443,25 @@ def _q_docs_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, num_perm=64, bands=16, jaccard_threshold=0.5)
 
 
+def _q_embed_knn_multi(sf_dir: str):
+    """Batched ANN: top-10 per query for query vectors 0, 1, 2 in one
+    broadcast matmul pass."""
+    import pyarrow.parquet as pq
+
+    from simplecrawler_ray.functions.ann import knn_bruteforce_multi
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qm = np.stack([
+        np.asarray(q.filter(pa.compute.equal(q.column("vec_id"), i))
+                   .column("embedding")[0].as_py(), dtype=np.float64)
+        for i in range(3)
+    ])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    df = knn_bruteforce_multi(ds, qm, k=10).to_pandas()
+    df["cos"] = df["cos"].round(6)
+    return df.reset_index(drop=True)
+
+
 def _q_docs_packing(sf_dir: str):
     """Sequence packing for LLM training batches: token-count ->
     deterministic per-partition greedy packing (block-layout
@@ -592,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_scaleweb": _q_crawl_scaleweb,
         "q_docs_minhash_pairs": _q_docs_minhash_pairs,
         "q_events_asof": _q_events_asof,
+        "q_embed_knn_multi": _q_embed_knn_multi,
         "q_docs_packing": _q_docs_packing,
         "q_docs_split": _q_docs_split,
         "q_docs_simhash": _q_docs_simhash,
@@ -698,9 +718,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_embed_knn": """
             SELECT vec_id,
-                   ROUND(CAST(list_cosine_similarity(
-                       embedding,
-                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 6) AS cos
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
             FROM embeddings
             ORDER BY cos DESC, vec_id
             LIMIT 20
@@ -740,6 +760,24 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid
             FROM documents
             ORDER BY doc_id
+        """,
+        "q_embed_knn_multi": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) DESC, e.vec_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cos FROM scored
+            WHERE rn <= 10
+            ORDER BY query_id, cos DESC, vec_id
         """,
         "q_events_asof": """
             WITH o AS (

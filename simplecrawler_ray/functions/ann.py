@@ -49,6 +49,47 @@ def knn_bruteforce(ds: rd.Dataset, query: np.ndarray, k: int = 10,
     return pa.Table.from_pandas(merged, preserve_index=False)
 
 
+def knn_bruteforce_multi(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
+                         id_col: str = "vec_id",
+                         emb_col: str = "embedding") -> pa.Table:
+    """Batched exact cosine top-k: the (m x d) query matrix broadcasts
+    ONCE (ray.put), each block does one (block x m) matmul and emits its
+    local top-k per query; the driver merges m*k*blocks thin rows.
+    Returns (query_id, vec_id, cos) sorted by query_id, cos desc,
+    vec_id — the batched-inference shape: at 10^10 rows the work per
+    block is one GEMM, not m scans."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    m = q.shape[0]
+    q_ref = ray.put(q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(np.stack(batch.column(emb_col).to_pylist()).astype(np.float64))
+        sims = mat @ qm.T  # (rows, m)
+        out_q, out_i, out_c = [], [], []
+        for j in range(m):
+            order = np.lexsort((ids, -sims[:, j]))[:k]
+            out_q.append(np.full(len(order), j, dtype=np.int64))
+            out_i.append(ids[order])
+            out_c.append(sims[order, j])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_i)),
+            "cos": pa.array(np.concatenate(out_c).astype(np.float64)),
+        })
+
+    from ..ops import gather_tables
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    merged = pa.concat_tables(gather_tables(parts),
+                              promote_options="default").to_pandas()
+    merged = (merged.sort_values(["query_id", "cos", id_col],
+                                 ascending=[True, False, True])
+              .groupby("query_id", sort=True).head(k))
+    return pa.Table.from_pandas(merged.reset_index(drop=True), preserve_index=False)
+
+
 @ray.remote
 def _list_ids_of(block) -> list[int]:
     # blocks may arrive as pandas (map_groups output) or Arrow; empty

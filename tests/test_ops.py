@@ -361,3 +361,23 @@ def test_add_split_column_stability():
     frac_val = (a["split"] == "val").mean()
     assert 0.15 < frac_val < 0.25  # close to requested 0.2
     assert set(a["split"]) == {"train", "val", "test"}
+
+
+def test_knn_multi_matches_single():
+    import numpy as np
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.ann import knn_bruteforce, knn_bruteforce_multi
+
+    rng = np.random.default_rng(9)
+    n, d = 800, 24
+    vecs = rng.normal(size=(n, d)).astype("float64")
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs])})
+    ds = rd.from_arrow([t.slice(o, 128) for o in range(0, n, 128)])
+    multi = knn_bruteforce_multi(ds, vecs[:3], k=5).to_pandas()
+    for qid in range(3):
+        single = knn_bruteforce(ds, vecs[qid], k=5).to_pandas()
+        part = multi[multi["query_id"] == qid]
+        assert list(part["vec_id"]) == list(single["vec_id"])
+        np.testing.assert_allclose(part["cos"].to_numpy(), single["cos"].to_numpy())
