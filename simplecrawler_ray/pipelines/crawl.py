@@ -185,6 +185,8 @@ DEFAULT_CONFIG = dict(
     seen_capacity_per_shard=1 << 20,
     batch_size=256,
     fetcher_concurrency=4,
+    fetch_threads=0,        # >1: threaded batch I/O for real transports
+                            # (HttpWeb); latency-bound WAN fetches need it
     checkpoint_dir=None,
     phash_fetched=False,
     user_agent="simplecrawler-ray/1.0",

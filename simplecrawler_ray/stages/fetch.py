@@ -157,6 +157,14 @@ class Fetcher:
         # decode fetched image payloads and perceptual-hash them (the
         # north-rule pixel-fidelity path; costs one DCT per row)
         self.phash_fetched = cfg.get("phash_fetched", False)
+        # >1: fetch the batch's requests through a thread pool — for
+        # REAL transports (HttpWeb), where sequential blocking I/O is
+        # latency-bound (100 ms RTT x batch_size per task otherwise).
+        # Synthetic webs stay sequential (CPU-bound; threads only add
+        # GIL churn).  Divergence note: concurrent requests all see the
+        # cookie jar as of batch start (real crawlers behave the same).
+        self.fetch_threads = int(cfg.get("fetch_threads", 0) or 0)
+        self._pool = None
 
     def _request_headers(self, url: str, host: str, path: str, referrer: str = "") -> dict:
         """getRequestOptions parity (src/crawler.ts:748-836): UA/Accept,
@@ -218,9 +226,20 @@ class Fetcher:
         mime_ok = [False] * n
         latency = [0] * n
 
+        prefetched = None
+        if self.fetch_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(max_workers=self.fetch_threads)
+            reqs = [(u, self._request_headers(u, hosts[i], paths[i], referrers[i]))
+                    for i, u in enumerate(urls)]
+            prefetched = list(self._pool.map(lambda p: self.web.get(p[0], p[1]),
+                                             reqs))
+
         for i, url in enumerate(urls):
-            resp = self.web.get(
-                url, self._request_headers(url, hosts[i], paths[i], referrers[i]))
+            resp = (prefetched[i] if prefetched is not None else self.web.get(
+                url, self._request_headers(url, hosts[i], paths[i], referrers[i])))
             if resp is None:  # route never responds => timeout
                 status[i] = STATUS_TIMEOUT
                 fetched[i] = True

@@ -117,3 +117,15 @@ def test_crawl_timeout_over_real_http(server):
     t = res.fetched_table()
     assert t.column("status")[0].as_py() == "timeout"
     eng.seen.shutdown()
+
+
+def test_crawl_with_fetch_threads(server):
+    """Threaded batch I/O (fetch_threads>1) crawls the same URL set."""
+    eng = CrawlEngine(HttpWeb(), server + "/", seen_shards=2, fetch_threads=8)
+    res = eng.run(max_rounds=20)
+    t = res.fetched_table()
+    st = dict(zip(t.column("url").to_pylist(), t.column("status").to_pylist()))
+    assert st[server + "/"] == "downloaded"
+    assert st[server + "/target"] == "downloaded"
+    assert server + "/private" not in st
+    eng.seen.shutdown()
