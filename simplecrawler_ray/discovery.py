@@ -113,6 +113,11 @@ def clean_expand_resources(
     seen_raw: set[str] = set()
     out: list[str] = []
     base = Uri.parse(referrer_url or "")
+    # scheme-full raws normalize referrer-independently (absolute_to is
+    # a no-op) — popular cross-document links hit this worker-level
+    # cache instead of re-parsing.  Only default protocol filtering is
+    # cacheable (the filter verdict is part of the cached value).
+    cacheable_abs = allowed_protocols is None
     for raw in candidates:
         if not raw:
             continue
@@ -121,20 +126,42 @@ def clean_expand_resources(
         if raw in seen_raw:
             continue
         seen_raw.add(raw)
+        ck = (raw, referrer_protocol) if cacheable_abs and "://" in raw else None
+        if ck is not None:
+            hit = _ABS_CLEAN_CACHE.get(ck, _UNSET)
+            if hit is not _UNSET:
+                if hit is not None and hit not in seen:
+                    seen.add(hit)
+                    out.append(hit)
+                continue
         url = clean_url(raw, referrer_protocol)
         try:
             u = Uri.parse(url).absolute_to(base).normalize()
         except (ValueError, UnicodeDecodeError):
+            if ck is not None:
+                _cache_abs(ck, None)
             continue
         url = u.href()
-        if not url:
+        if not url or not protocol_ok(u.protocol or "http", allowed_protocols):
+            if ck is not None:
+                _cache_abs(ck, None)
             continue
-        if not protocol_ok(u.protocol or "http", allowed_protocols):
-            continue
+        if ck is not None:
+            _cache_abs(ck, url)
         if url not in seen:
             seen.add(url)
             out.append(url)
     return out
+
+
+_ABS_CLEAN_CACHE: dict = {}
+_UNSET = object()
+
+
+def _cache_abs(key, value) -> None:
+    if len(_ABS_CLEAN_CACHE) > 500_000:
+        _ABS_CLEAN_CACHE.clear()
+    _ABS_CLEAN_CACHE[key] = value
 
 
 def discover(

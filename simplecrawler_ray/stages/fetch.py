@@ -225,6 +225,7 @@ class Fetcher:
         discovered: list[list[str]] = [[] for _ in range(n)]
         mime_ok = [False] * n
         latency = [0] * n
+        pending_phash: list[tuple] = []  # (row, decoded arr) — batch-hashed
 
         prefetched = None
         if self.fetch_threads > 1:
@@ -333,10 +334,12 @@ class Fetcher:
                     mime_supported = True
                     mime_ok[i] = True
                     if self.phash_fetched and body:
-                        from ..functions.imagecodec import decode_image, phash64
+                        # decode now, hash at batch end (one broadcast
+                        # DCT matmul for the whole batch)
+                        from ..functions.imagecodec import decode_image
 
                         try:
-                            phashes[i] = phash64(decode_image(body))
+                            pending_phash.append((i, decode_image(body)))
                         except (ValueError, NotImplementedError):
                             pass
                 else:
@@ -368,6 +371,13 @@ class Fetcher:
                 status[i] = STATUS_FAILED
                 fetched[i] = True
                 dispositions[i] = "fetcherror"
+
+        if pending_phash:
+            from ..functions.imagecodec import phash64_batch
+
+            hs = phash64_batch([a for _, a in pending_phash])
+            for (i, _), h in zip(pending_phash, hs):
+                phashes[i] = int(h)
 
         out = batch.drop_columns(
             [c for c in ("fetched", "status", "state_request_latency_ms",
