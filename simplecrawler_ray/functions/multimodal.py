@@ -101,12 +101,13 @@ class ImageResizeStage:
         return batch.append_column("resized_bytes", pa.array(out_blobs, pa.binary()))
 
 
-# ------------------------------------------------------------ audio (STUB)
+# ------------------------------------------------- audio (WAV real; rest stub)
 
 def _fake_pcm(blob: bytes, n_samples: int = 1024) -> np.ndarray:
-    """Deterministic STAND-IN for audio decode: derive a pseudo-PCM
-    waveform from the payload hash.  NOT a real codec — the container
-    has no audio libraries; swap for soundfile/librosa in production."""
+    """Deterministic STAND-IN for compressed-audio decode: derive a
+    pseudo-PCM waveform from the payload hash.  Used only for non-WAV
+    containers (MP3/AAC need codec libraries not present here); WAV/PCM
+    decodes for REAL via functions/audiocodec.py."""
     seed = struct.unpack("<Q", hashlib.blake2b(blob, digest_size=8).digest())[0]
     rng = np.random.default_rng(seed)
     return rng.standard_normal(n_samples).astype(np.float32)
@@ -114,34 +115,47 @@ def _fake_pcm(blob: bytes, n_samples: int = 1024) -> np.ndarray:
 
 class AudioFeatureStage:
     """Actor-pool stage: audio binary -> (rms, zero-crossing-rate,
-    spectral centroid) via the deterministic fake decoder.  The feature
-    math (numpy FFT) is real; only the decode is stubbed."""
+    spectral centroid, sample_rate, decode_error).  WAV/PCM payloads
+    decode for real (pure-numpy RIFF codec); compressed containers fall
+    back to the deterministic fake (or a per-row error when
+    ``real_decode`` demands a true codec).  Feature math is numpy FFT
+    either way."""
 
     def __init__(self, bytes_col: str = "bytes", real_decode: bool = False):
         self.bytes_col = bytes_col
         self.real_decode = real_decode
 
-    def _decode(self, blob: bytes) -> np.ndarray:
+    def _decode(self, blob: bytes) -> "tuple[np.ndarray, int, str]":
+        if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+            from .audiocodec import decode_wav
+
+            pcm, rate = decode_wav(blob)
+            return pcm.mean(axis=1), rate, ""  # downmix to mono
         if self.real_decode:
-            raise NotImplementedError(
-                "real audio decode requires an audio library not present "
-                "in this environment")
-        return _fake_pcm(blob)
+            return (np.zeros(1, np.float32), 0,
+                    "stubbed: compressed-audio decode needs a codec library")
+        return _fake_pcm(blob), 0, ""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column(self.bytes_col).to_pylist()
-        rms, zcr, cent = [], [], []
+        rms, zcr, cent, rates, errs = [], [], [], [], []
         for blob in blobs:
-            pcm = self._decode(blob or b"")
+            try:
+                pcm, rate, err = self._decode(blob or b"")
+            except ValueError as e:
+                pcm, rate, err = np.zeros(1, np.float32), 0, str(e)
             rms.append(float(np.sqrt(np.mean(pcm**2))))
             zcr.append(float(np.mean(np.abs(np.diff(np.sign(pcm))) > 0)))
             spec = np.abs(np.fft.rfft(pcm))
             freqs = np.arange(len(spec), dtype=np.float64)
             cent.append(float((spec * freqs).sum() / max(spec.sum(), 1e-9)))
+            rates.append(rate)
+            errs.append(err)
         out = batch.append_column("audio_rms", pa.array(rms, pa.float64()))
         out = out.append_column("audio_zcr", pa.array(zcr, pa.float64()))
         out = out.append_column("audio_centroid", pa.array(cent, pa.float64()))
-        return out
+        out = out.append_column("audio_sr", pa.array(rates, pa.int32()))
+        return out.append_column("audio_decode_error", pa.array(errs, pa.string()))
 
 
 # ------------------------------------------------------------ video (STUB)

@@ -84,3 +84,54 @@ def test_corpus_row_fidelity():
         assert row["caption"] == sw.caption_of(i)
         assert row["phash"] == phash64(px)
         assert (row["w"], row["h"]) == (px.shape[1], px.shape[0])
+
+
+def test_wav_roundtrip_fidelity():
+    """Real WAV/PCM codec: int16 round-trip within quantization, float32
+    lossless, stereo interleave preserved — the audio analogue of the
+    image PSNR fidelity contract."""
+    import numpy as np
+
+    from simplecrawler_ray.functions.audiocodec import decode_wav, encode_wav
+
+    t = np.linspace(0, 1, 8000, dtype=np.float32)
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    blob = encode_wav(mono, sample_rate=8000, bits=16)
+    pcm, rate = decode_wav(blob)
+    assert rate == 8000 and pcm.shape == (8000, 1)
+    assert np.abs(pcm[:, 0] - mono).max() <= 1.0 / 32767 + 1e-6
+
+    stereo = np.stack([mono, -mono], axis=1)
+    pcm2, _ = decode_wav(encode_wav(stereo, sample_rate=8000, bits=32))
+    assert pcm2.shape == (8000, 2)
+    assert np.allclose(pcm2, stereo)  # float32 container: lossless
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+
+
+def test_audio_feature_stage_real_wav():
+    import numpy as np
+    import pyarrow as pa
+
+    from simplecrawler_ray.functions.audiocodec import encode_wav
+    from simplecrawler_ray.functions.multimodal import AudioFeatureStage
+
+    t = np.linspace(0, 1, 4000, dtype=np.float32)
+    tone = (0.25 * np.sin(2 * np.pi * 100 * t)).astype(np.float32)
+    loud = (0.9 * np.sin(2 * np.pi * 100 * t)).astype(np.float32)
+    batch = pa.table({"bytes": pa.array(
+        [encode_wav(tone, 4000), encode_wav(loud, 4000), b"zzz-not-audio"],
+        pa.binary())})
+    out = AudioFeatureStage()(batch)
+    rms = out.column("audio_rms").to_pylist()
+    srs = out.column("audio_sr").to_pylist()
+    assert srs[0] == 4000 and srs[1] == 4000 and srs[2] == 0
+    assert abs(rms[0] - 0.25 / np.sqrt(2)) < 0.01  # sine RMS = A/sqrt(2)
+    assert abs(rms[1] - 0.9 / np.sqrt(2)) < 0.03
+    # real_decode demands a true codec for non-WAV -> per-row error
+    out2 = AudioFeatureStage(real_decode=True)(batch)
+    errs = out2.column("audio_decode_error").to_pylist()
+    assert errs[0] == "" and "stubbed" in errs[2]
