@@ -158,36 +158,87 @@ class AudioFeatureStage:
         return out.append_column("audio_decode_error", pa.array(errs, pa.string()))
 
 
-# ------------------------------------------------------------ video (STUB)
+# ------------------------------------- video (FPK1 real; MP4/AVI etc. stub)
+
+FPK_MAGIC = b"FPK1"
+
+
+def encode_framepack(frames: "list[np.ndarray]", fmt: str = "png") -> bytes:
+    """REAL (if simple) video container: ``FPK1`` + frame count + one
+    length-prefixed encoded image per frame.  The MJPEG-style analogue
+    this repo can demux without codec libraries; MP4/AVI demux stays
+    stubbed (needs pyav/ffmpeg)."""
+    payloads = [encode_image(f, fmt) for f in frames]
+    out = [FPK_MAGIC, struct.pack("<I", len(payloads))]
+    for p in payloads:
+        out.append(struct.pack("<I", len(p)))
+        out.append(p)
+    return b"".join(out)
+
+
+def decode_framepack(blob: bytes) -> "list[bytes]":
+    """FPK1 bytes -> list of encoded frame payloads (decode per frame
+    with imagecodec.decode_image)."""
+    if blob[:4] != FPK_MAGIC:
+        raise ValueError("not an FPK1 frame pack")
+    (n,) = struct.unpack("<I", blob[4:8])
+    pos = 8
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", blob[pos:pos + 4])
+        frames.append(blob[pos + 4:pos + 4 + ln])
+        pos += 4 + ln
+    return frames
+
 
 class VideoFrameSampleStage:
-    """Actor-pool stage: video binary -> K sampled "frames" (as PNG
-    bytes).  Frame extraction is a deterministic fake (hash-derived
-    pixel frames); a production deployment swaps ``_frames`` for a real
-    demuxer (pyav/ffmpeg).  Output layout (list<binary> frames +
-    frame_count) is the real contract downstream stages consume."""
+    """Actor-pool stage: video binary -> K uniformly sampled frames (as
+    encoded image bytes) + frame_count + per-row decode_error.  FPK1
+    frame packs demux for REAL; other containers (MP4/AVI) produce
+    deterministic fake frames (or an error row when ``real_decode``) —
+    swap ``_frames`` for a pyav demuxer in production, the output
+    contract (list<binary> frames) is unchanged."""
 
-    def __init__(self, k: int = 3, side: int = 8, bytes_col: str = "bytes"):
+    def __init__(self, k: int = 3, side: int = 8, bytes_col: str = "bytes",
+                 real_decode: bool = False):
         self.k = k
         self.side = side
         self.bytes_col = bytes_col
+        self.real_decode = real_decode
 
-    def _frames(self, blob: bytes) -> list[np.ndarray]:
+    def _fake_frames(self, blob: bytes) -> list[bytes]:
         seed = struct.unpack("<Q", hashlib.blake2b(blob, digest_size=8).digest())[0]
         rng = np.random.default_rng(seed)
         return [
-            rng.integers(0, 256, (self.side, self.side, 3)).astype(np.uint8)
+            encode_image(
+                rng.integers(0, 256, (self.side, self.side, 3)).astype(np.uint8),
+                "png")
             for _ in range(self.k)
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column(self.bytes_col).to_pylist()
         frames_col: list[list[bytes]] = []
-        counts = []
+        counts, errs = [], []
         for blob in blobs:
-            frames = self._frames(blob or b"")
-            frames_col.append([encode_image(f, "png") for f in frames])
+            blob = blob or b""
+            err = ""
+            if blob[:4] == FPK_MAGIC:
+                all_frames = decode_framepack(blob)
+                # uniform K-sample across the pack (first/last inclusive)
+                if len(all_frames) <= self.k:
+                    frames = all_frames
+                else:
+                    idx = np.linspace(0, len(all_frames) - 1, self.k).astype(int)
+                    frames = [all_frames[i] for i in idx]
+            elif self.real_decode:
+                frames, err = [], "stubbed: container demux needs pyav/ffmpeg"
+            else:
+                frames = self._fake_frames(blob)
+            frames_col.append(frames)
             counts.append(len(frames))
+            errs.append(err)
         out = batch.append_column(
             "frames", pa.array(frames_col, pa.list_(pa.binary())))
-        return out.append_column("frame_count", pa.array(counts, pa.int32()))
+        out = out.append_column("frame_count", pa.array(counts, pa.int32()))
+        return out.append_column("video_decode_error", pa.array(errs, pa.string()))

@@ -135,3 +135,34 @@ def test_audio_feature_stage_real_wav():
     out2 = AudioFeatureStage(real_decode=True)(batch)
     errs = out2.column("audio_decode_error").to_pylist()
     assert errs[0] == "" and "stubbed" in errs[2]
+
+
+def test_framepack_roundtrip_and_sampling():
+    """FPK1 container: real demux, uniform K-frame sampling, pixel
+    fidelity through the pack (PNG frames lossless)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from simplecrawler_ray.functions.imagecodec import decode_image
+    from simplecrawler_ray.functions.multimodal import (
+        VideoFrameSampleStage, decode_framepack, encode_framepack)
+
+    rng = np.random.default_rng(2)
+    frames = [rng.integers(0, 256, (6, 6, 3)).astype("uint8") for _ in range(9)]
+    blob = encode_framepack(frames, "png")
+    back = decode_framepack(blob)
+    assert len(back) == 9
+    assert np.array_equal(decode_image(back[4]), frames[4])  # lossless
+
+    batch = pa.table({"bytes": pa.array([blob, b"\x00\x00fakevid"], pa.binary())})
+    out = VideoFrameSampleStage(k=3)(batch)
+    counts = out.column("frame_count").to_pylist()
+    assert counts[0] == 3  # sampled down from 9
+    sampled = out.column("frames").to_pylist()[0]
+    # uniform sampling hits first and last frames
+    assert np.array_equal(decode_image(sampled[0]), frames[0])
+    assert np.array_equal(decode_image(sampled[2]), frames[8])
+    # real_decode: non-FPK container -> per-row error, no fake frames
+    out2 = VideoFrameSampleStage(k=3, real_decode=True)(batch)
+    assert out2.column("frame_count").to_pylist()[1] == 0
+    assert "stubbed" in out2.column("video_decode_error").to_pylist()[1]

@@ -149,12 +149,11 @@ def test_audio_video_stubs_run_in_ray():
                           batch_size=8, concurrency=2).to_pandas()
     assert (vout["frame_count"] == 3).all()
 
-    def real_decode_raises():
-        AudioFeatureStage(real_decode=True)(
-            pa.table({"bytes": pa.array([b"x"], pa.binary())}))
-
-    with pytest.raises(NotImplementedError):
-        real_decode_raises()
+    # real_decode on a compressed container -> per-row stub error (the
+    # ImageDecodeStage error-column contract), not a batch failure
+    out3 = AudioFeatureStage(real_decode=True)(
+        pa.table({"bytes": pa.array([b"x"], pa.binary())}))
+    assert "stubbed" in out3.column("audio_decode_error").to_pylist()[0]
 def test_minhash_small_and_distributed_paths_agree(tmp_path):
     import ray.data as rd
     import pyarrow.parquet as pq
