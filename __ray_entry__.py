@@ -462,6 +462,20 @@ def _q_embed_knn_multi(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _q_train_pipeline(sf_dir: str):
+    """Composed end-to-end training-data pipeline: dedup -> quality ->
+    split -> pack over the documents table; returns the per-stage
+    summary row (pipelines/traindata.py)."""
+    import pandas as pd
+
+    from simplecrawler_ray.pipelines.traindata import run_training_pipeline
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = run_training_pipeline(ds)
+    out["mean_pack_fill"] = round(out["mean_pack_fill"], 6)
+    return pd.DataFrame([out])
+
+
 def _q_docs_packing(sf_dir: str):
     """Sequence packing for LLM training batches: token-count ->
     deterministic per-partition greedy packing (block-layout
@@ -614,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_knn_multi": _q_embed_knn_multi,
         "q_docs_packing": _q_docs_packing,
         "q_docs_split": _q_docs_split,
+        "q_train_pipeline": _q_train_pipeline,
         "q_docs_simhash": _q_docs_simhash,
         "q_docs_simhash_pairs": _q_docs_simhash_pairs,
         "q_docs_langid": _q_docs_langid,

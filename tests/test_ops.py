@@ -380,3 +380,30 @@ def test_knn_multi_matches_single():
         part = multi[multi["query_id"] == qid]
         assert list(part["vec_id"]) == list(single["vec_id"])
         np.testing.assert_allclose(part["cos"].to_numpy(), single["cos"].to_numpy())
+
+
+def test_training_pipeline_end_to_end():
+    """dedup -> quality -> split -> pack over a corpus with planted
+    duplicates and junk rows: counts drop at the right stages and every
+    surviving train doc lands in exactly one pack."""
+    import ray.data as rd
+
+    from simplecrawler_ray.pipelines.traindata import run_training_pipeline
+
+    texts = []
+    for i in range(200):
+        texts.append(f"document number {i} with some words repeated words "
+                     f"and unique token u{i} " * 3)
+    texts[10] = texts[0]          # exact dup -> dropped
+    texts[11] = texts[1]          # exact dup -> dropped
+    texts[12] = "1 2 3"           # too short + digits -> dropped
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow([t.slice(o, 32) for o in range(0, 200, 32)])
+    out = run_training_pipeline(ds, max_tokens=256)
+    assert out["n_input"] == 200
+    assert out["n_after_dedup"] == 198          # two dups removed
+    assert out["n_after_quality"] == 197        # junk row removed
+    assert out["n_train"] + out["n_val"] + out["n_test"] == 197
+    assert out["n_packs"] >= 1
+    assert 0 < out["mean_pack_fill"] <= 1.0
