@@ -129,3 +129,102 @@ def test_crawl_with_fetch_threads(server):
     assert st[server + "/target"] == "downloaded"
     assert server + "/private" not in st
     eng.seen.shutdown()
+
+
+class ProxyHandler(BaseHTTPRequestHandler):
+    """Minimal forward proxy: absolute-URI requests echoed with markers."""
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        body = f"proxied:{self.path}".encode()
+        auth = self.headers.get("Proxy-Authorization", "")
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain")
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("X-Proxy-Auth", auth)
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def test_httpweb_proxy_absolute_uri():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), ProxyHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        web = HttpWeb(use_proxy=True, proxy_hostname="127.0.0.1",
+                      proxy_port=srv.server_address[1],
+                      proxy_user="u", proxy_pass="p")
+        r = web.get("http://example.com/some/path?q=1")
+        assert r.code == 200
+        # proxy got the absolute URI (proxy request form)
+        assert r.body == b"proxied:http://example.com/some/path?q=1"
+        assert r.headers["X-Proxy-Auth"].startswith("Basic ")
+    finally:
+        srv.shutdown()
+
+
+class CookieEtagHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def _send(self, code, body=b"", extra=()):
+        self.send_response(code)
+        self.send_header("Content-Type", "text/html")
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in extra:
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        p = self.path
+        if p == "/robots.txt":
+            self._send(200, b"User-agent: *\nDisallow:\n")
+        elif p == "/":
+            self._send(200, b"<a href='/echo-cookie'>c</a>",
+                       extra=[("Set-Cookie", "sid=abc123; Path=/")])
+        elif p == "/echo-cookie":
+            got = self.headers.get("Cookie", "")
+            self._send(200, f"cookie={got}".encode())
+        elif p == "/etag":
+            if self.headers.get("If-None-Match") == '"v1"':
+                self._send(304, b"", extra=[("ETag", '"v1"')])
+            else:
+                self._send(200, b"etag body", extra=[("ETag", '"v1"')])
+        else:
+            self._send(404, b"nope")
+
+
+@pytest.fixture(scope="module")
+def cserver():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), CookieEtagHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_cookie_roundtrip_over_real_http(cserver):
+    """Set-Cookie from round N is sent back on round N+1 requests."""
+    eng = CrawlEngine(HttpWeb(), cserver + "/", seen_shards=2)
+    res = eng.run(max_rounds=10)
+    t = res.fetched_table()
+    caps = dict(zip(t.column("url").to_pylist(), t.column("caption").to_pylist()))
+    assert "sid=abc123" in caps[cserver + "/echo-cookie"]
+    eng.seen.shutdown()
+
+
+def test_etag_304_over_real_http(cserver):
+    """Conditional GET over live sockets: shared cache_index produces a
+    notmodified on the second crawl (S6 with the real transport)."""
+    cache: dict = {}
+    e1 = CrawlEngine(HttpWeb(), cserver + "/etag", seen_shards=2,
+                     discover=False, cache_index=cache)
+    e1.run(max_rounds=3)
+    e1.seen.shutdown()
+    assert cserver + "/etag" in cache  # validator recorded
+    e2 = CrawlEngine(HttpWeb(), cserver + "/etag", seen_shards=2,
+                     discover=False, cache_index=cache)
+    r2 = e2.run(max_rounds=3)
+    assert r2.metrics.get("notmodified", 0) == 1
+    e2.seen.shutdown()
