@@ -91,33 +91,115 @@ def _write_block(t: pa.Table, path: str) -> int:
     return t.num_rows
 
 
+@ray.remote(num_returns=3)
+def _bucket_dequeue(refs: list, budget: int):
+    """Worker-side politeness dequeue of ONE host bucket: all of a
+    host's rows live in exactly one bucket (rows were hash-partitioned
+    by host on add), so the per-host oldest-``budget`` cut needs NO
+    cross-bucket shuffle — the round-1 salted groupby's whole-frontier
+    exchange becomes B independent tasks.  Returns (wave, remainder,
+    remainder_rows); the driver keeps the remainder as a ref and never
+    pulls it."""
+    tables = [t for t in ray.get(list(refs)) if t.num_rows]
+    if not tables:
+        empty = FRONTIER_SCHEMA.empty_table()
+        return empty, empty, 0
+    t = pa.concat_tables(tables, promote_options="default")
+    t = t.take(pc.sort_indices(t, sort_keys=[("seq", "ascending")]))
+    import pandas as _pd
+
+    rank = t.select(["host"]).to_pandas().groupby("host").cumcount()
+    take = pa.array((rank < budget).to_numpy())
+    wave = t.filter(take)
+    rem = t.filter(pc.invert(take))
+    return wave, rem, rem.num_rows
+
+
 class _DatasetFrontier:
     """Object-store-resident queued frontier (``frontier_backend="dataset"``).
 
-    The driver holds only block ObjectRefs + per-block row counts + a
-    per-host row Counter (for hot-host salt factors); the queued rows
-    themselves live in — and spill from — the Ray object store.  The
-    per-round dequeue is `stages.politeness.politeness_dequeue_ds` /
-    `dequeue_oldest_ds`; the remainder is re-pinned as block refs
-    without ever being gathered driver-side."""
+    The driver holds only block ObjectRefs (hash-partitioned by host
+    into ``n_buckets`` ref lists) + per-block row counts + a per-host
+    row Counter; the queued rows themselves live in — and spill from —
+    the Ray object store.  Budget dequeues run one `_bucket_dequeue`
+    task per bucket (a host's rows never leave their bucket, so no
+    global shuffle); budget-0 dequeues use the two-pass global-oldest
+    cutoff.  The salted `politeness_dequeue_ds` groupby operator
+    remains the fallback for externally-supplied (un-bucketed)
+    frontiers."""
 
-    def __init__(self):
-        self.refs: list = []
-        self.block_counts: list[int] = []
+    def __init__(self, n_buckets: int = 16):
+        self.n_buckets = n_buckets
+        self.buckets: list[list] = [[] for _ in range(n_buckets)]
+        self.bucket_rows: list[list[int]] = [[] for _ in range(n_buckets)]
         self.host_counts: dict[str, int] = {}
+        self._host_bucket_cache: dict[str, int] = {}
+        # flat = bucket identity unknown (blocks adopted via set_blocks):
+        # budget dequeues must use the salted groupby fallback
+        self.flat = False
+
+    @property
+    def refs(self) -> list:
+        return [r for b in self.buckets for r in b]
+
+    @property
+    def block_counts(self) -> list:
+        return [n for b in self.bucket_rows for n in b]
 
     @property
     def num_rows(self) -> int:
-        return sum(self.block_counts)
+        return sum(n for b in self.bucket_rows for n in b)
+
+    def _bucket_of(self, host: str) -> int:
+        b = self._host_bucket_cache.get(host)
+        if b is None:
+            import hashlib
+
+            b = int.from_bytes(
+                hashlib.blake2b((host or "").encode(), digest_size=4).digest(),
+                "little") % self.n_buckets
+            if len(self._host_bucket_cache) > 1_000_000:
+                self._host_bucket_cache.clear()
+            self._host_bucket_cache[host] = b
+        return b
 
     def add_table(self, t: pa.Table) -> None:
         if t.num_rows == 0:
             return
-        self.refs.append(ray.put(t))
-        self.block_counts.append(t.num_rows)
+        if self.flat:
+            # bucket invariant already lost: keep everything in one pool
+            self.buckets[0].append(ray.put(t))
+            self.bucket_rows[0].append(t.num_rows)
+        else:
+            hosts = t.column("host").to_pylist()
+            assign = np.fromiter((self._bucket_of(h) for h in hosts),
+                                 dtype=np.int32, count=len(hosts))
+            for b in np.unique(assign):
+                part = t.filter(pa.array(assign == b))
+                self.buckets[int(b)].append(ray.put(part))
+                self.bucket_rows[int(b)].append(part.num_rows)
         for e in pc.value_counts(t.column("host")).to_pylist():
             self.host_counts[e["values"]] = (
                 self.host_counts.get(e["values"], 0) + e["counts"])
+
+    def dequeue_budget(self, budget: int) -> pa.Table:
+        """Per-bucket worker-side politeness cut; remainder refs kept,
+        never gathered.  Returns the seq-sorted wave."""
+        futures = []
+        for b in range(self.n_buckets):
+            if self.bucket_rows[b]:
+                futures.append((b, _bucket_dequeue.remote(self.buckets[b], budget)))
+        wave_parts = []
+        for b, (wave_ref, rem_ref, nrem_ref) in futures:
+            nrem = ray.get(nrem_ref)
+            self.buckets[b] = [rem_ref] if nrem else []
+            self.bucket_rows[b] = [nrem] if nrem else []
+            wave_parts.append(ray.get(wave_ref))
+        wave_parts = [w for w in wave_parts if w.num_rows]
+        if not wave_parts:
+            return FRONTIER_SCHEMA.empty_table()
+        wave = pa.concat_tables(wave_parts, promote_options="default")
+        return wave.take(pc.sort_indices(wave, sort_keys=[("seq", "ascending")]))
 
     def subtract_hosts(self, t: pa.Table) -> None:
         for e in pc.value_counts(t.column("host")).to_pylist():
@@ -129,14 +211,19 @@ class _DatasetFrontier:
 
     def set_blocks(self, materialized: "rd.MaterializedDataset") -> None:
         """Repoint the store at a materialized dataset's blocks (Arrow
-        blocks; counts from block metadata — no data pull)."""
-        self.refs, self.block_counts = [], []
+        blocks; counts from block metadata — no data pull).  Bucket
+        identity is lost — the store goes FLAT (everything in bucket 0)
+        and budget dequeues fall back to the salted groupby operator
+        until the store is rebuilt by per-bucket dequeues."""
+        self.flat = True
+        self.buckets = [[] for _ in range(self.n_buckets)]
+        self.bucket_rows = [[] for _ in range(self.n_buckets)]
         for b in materialized.iter_internal_ref_bundles():
             for ref, meta in b.blocks:
                 n = meta.num_rows or 0
                 if n:
-                    self.refs.append(ref)
-                    self.block_counts.append(n)
+                    self.buckets[0].append(ref)
+                    self.bucket_rows[0].append(n)
 
     def dataset(self) -> rd.Dataset:
         return rd.from_arrow_refs(list(self.refs))
@@ -568,18 +655,27 @@ class CrawlEngine:
         budget = self.cfg["host_budget_per_round"]
         cap = self.cfg["max_wave_rows"]
         if budget:
-            hot = fr.hot_hosts(self.cfg["salt_threshold"], self.cfg["max_salt"])
-            wave, remainder, requeue = politeness_dequeue_ds(ds, budget, hot)
-            fr.set_blocks(remainder.materialize())
-            # host-count bookkeeping: wave+requeue left the store; what
-            # returns (salt spill, cap overflow) is re-added by add_table
-            fr.subtract_hosts(wave)
-            if requeue.num_rows:
-                fr.subtract_hosts(requeue)
-                fr.add_table(requeue)
-            if cap and wave.num_rows > cap:
-                fr.add_table(wave.slice(cap))
-                wave = wave.slice(0, cap)
+            if not fr.flat:
+                # bucketed fast path: per-bucket worker-side cut, no
+                # frontier-wide shuffle (a host's rows live in exactly
+                # one bucket)
+                wave = fr.dequeue_budget(budget)
+                fr.subtract_hosts(wave)
+                if cap and wave.num_rows > cap:
+                    fr.add_table(wave.slice(cap))  # same host buckets
+                    wave = wave.slice(0, cap)
+            else:
+                # flat store (adopted blocks): salted groupby operator
+                hot = fr.hot_hosts(self.cfg["salt_threshold"], self.cfg["max_salt"])
+                wave, remainder, requeue = politeness_dequeue_ds(ds, budget, hot)
+                fr.set_blocks(remainder.materialize())
+                fr.subtract_hosts(wave)
+                if requeue.num_rows:
+                    fr.subtract_hosts(requeue)
+                    fr.add_table(requeue)
+                if cap and wave.num_rows > cap:
+                    fr.add_table(wave.slice(cap))
+                    wave = wave.slice(0, cap)
         else:
             wave, remainder = dequeue_oldest_ds(ds, cap)
             fr.set_blocks(remainder.materialize())
