@@ -1,31 +1,50 @@
 """Fetch/download condition evaluation — sync, async and callback forms.
 
 The reference accepts both synchronous predicates and callback-async
-ones (arity-3 ``(queueItem, referrerQueueItem, callback)``,
+ones (``(queueItem, referrerQueueItem, callback)``,
 src/crawler.ts:1230-1261; behavior pinned by
 test/specs/conditions.integration.spec.ts:18-253): an async condition
 decides via ``callback(error, decision)``, and an error — thrown or
 passed — maps to ``fetchconditionerror`` and drops the candidate.
+``async.every`` WAITS for every callback, so a deferred veto/error is
+never dropped.
 
 Python equivalents supported here:
 
 * plain callable ``cond(queue_item) -> bool``  (sync, the hot path),
+* two-arg sync ``cond(queue_item, referrer_item) -> bool`` — the
+  reference's ``(queueItem, referrerQueueItem)`` shape.  An arity-2
+  callable is treated as callback-style ONLY if its second parameter
+  is named ``done`` / ``callback`` / ``cb``; any other name means the
+  sync referrer shape,
 * coroutine function ``async def cond(queue_item) -> bool``,
-* callback style ``cond(queue_item, done)`` where the condition calls
-  ``done(error=None, decision=True)``.
+* callback style ``cond(queue_item, done)`` or the reference's
+  three-arg ``cond(queue_item, referrer_item, done)``, where the
+  condition calls ``done(error=None, decision=True)``.  If ``done``
+  has not been called when the condition returns (e.g. it handed the
+  callback to a thread), evaluation BLOCKS up to ``timeout`` seconds
+  for it; a callback that never fires raises ``ConditionError``
+  instead of silently passing.
 
 Raised exceptions and callback errors both propagate to the caller,
 which counts ``fetchconditionerror`` / ``downloadconditionerror`` —
-exactly the sync semantics, now for all three shapes.
+exactly the sync semantics, for all shapes.
 """
 
 from __future__ import annotations
 
 import asyncio
 import inspect
+import threading
 from typing import Any, Callable
 
 _LOOP: "asyncio.AbstractEventLoop | None" = None
+
+#: seconds a deferred callback condition may take before it errors —
+#: mirrors the reference's listenerTTL default (src/crawler.ts:313).
+CALLBACK_TIMEOUT = 10.0
+
+_CALLBACK_PARAM_NAMES = {"done", "callback", "cb"}
 
 
 def _loop() -> asyncio.AbstractEventLoop:
@@ -35,40 +54,64 @@ def _loop() -> asyncio.AbstractEventLoop:
     return _LOOP
 
 
-def _arity(fn: Callable) -> int:
+def _positional_params(fn: Callable):
     try:
         params = inspect.signature(fn).parameters.values()
-        return sum(1 for p in params
-                   if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD))
     except (TypeError, ValueError):
-        return 1
+        return None
+    return [p for p in params
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
 
 
 class ConditionError(RuntimeError):
-    """An async condition reported an error via callback(err, ...)."""
+    """An async condition reported an error via callback(err, ...) or
+    never invoked its callback within the timeout."""
 
 
-def eval_condition(cond: Callable, queue_item: dict) -> bool:
+def _run_callback_style(cond: Callable, args: tuple, timeout: float) -> bool:
+    result: dict[str, Any] = {}
+    fired = threading.Event()
+
+    def done(error=None, decision=True):
+        result["error"] = error
+        result["decision"] = decision
+        fired.set()
+
+    cond(*args, done)
+    if not fired.is_set() and not fired.wait(timeout):
+        raise ConditionError(
+            "condition did not invoke its callback within "
+            f"{timeout}s: {getattr(cond, '__name__', cond)!r}")
+    err = result.get("error")
+    if err is not None:
+        if isinstance(err, BaseException):
+            raise err
+        raise ConditionError(str(err))
+    return bool(result.get("decision", True))
+
+
+def eval_condition(cond: Callable, queue_item: dict,
+                   referrer_item: "dict | None" = None,
+                   timeout: float = CALLBACK_TIMEOUT) -> bool:
     """Evaluate one condition against a queue-item dict.  Returns the
     boolean decision; raises on error (the caller maps the raise to
     ``fetchconditionerror`` / ``downloadconditionerror``)."""
     if inspect.iscoroutinefunction(cond):
         return bool(_loop().run_until_complete(cond(queue_item)))
-    if _arity(cond) >= 2:
-        # callback style: cond(queue_item, done)
-        result: dict[str, Any] = {}
-
-        def done(error=None, decision=True):
-            result["error"] = error
-            result["decision"] = decision
-
-        cond(queue_item, done)
-        err = result.get("error")
-        if err is not None:
-            if isinstance(err, BaseException):
-                raise err
-            raise ConditionError(str(err))
-        return bool(result.get("decision", True))
+    params = _positional_params(cond)
+    arity = len(params) if params is not None else 1
+    if arity >= 3:
+        # reference shape: cond(queue_item, referrer_item, callback)
+        return _run_callback_style(cond, (queue_item, referrer_item), timeout)
+    if arity == 2:
+        name = params[1].name if params is not None else ""
+        if name in _CALLBACK_PARAM_NAMES:
+            return _run_callback_style(cond, (queue_item,), timeout)
+        # sync two-arg (queueItem, referrerQueueItem) shape
+        out = cond(queue_item, referrer_item)
+        if inspect.isawaitable(out):
+            return bool(_loop().run_until_complete(out))
+        return bool(out)
     out = cond(queue_item)
     if inspect.isawaitable(out):  # async lambda / partial of coroutine
         return bool(_loop().run_until_complete(out))

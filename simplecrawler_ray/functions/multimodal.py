@@ -33,8 +33,13 @@ class ImageDecodeStage:
     raises NotImplementedError inside and is reported per-row in
     ``decode_error`` instead of failing the batch."""
 
-    def __init__(self, bytes_col: str = "bytes"):
+    def __init__(self, bytes_col: str = "bytes", decoder=None):
+        """``decoder``: optional ``blob -> HxWx3 uint8 ndarray`` callable
+        (e.g. PIL/turbojpeg in production) replacing the built-in
+        pure-numpy codec — stages stay unchanged when real codecs are
+        plugged in (round-2 verdict #8)."""
         self.bytes_col = bytes_col
+        self.decoder = decoder or decode_image
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column(self.bytes_col).to_pylist()
@@ -51,7 +56,7 @@ class ImageDecodeStage:
                 err[i] = "empty"
                 continue
             try:
-                arr = decode_image(blob)
+                arr = self.decoder(blob)
             except NotImplementedError as e:
                 err[i] = f"stubbed: {e}"
                 continue
@@ -77,10 +82,13 @@ class ImageResizeStage:
     """Actor-pool stage: decode -> nearest-neighbor resize -> re-encode.
     Fully real (numpy); demonstrates a payload-rewriting transform."""
 
-    def __init__(self, side: int = 16, fmt: str = "png", bytes_col: str = "bytes"):
+    def __init__(self, side: int = 16, fmt: str = "png", bytes_col: str = "bytes",
+                 decoder=None, encoder=None):
         self.side = side
         self.fmt = fmt
         self.bytes_col = bytes_col
+        self.decoder = decoder or decode_image
+        self.encoder = encoder or encode_image
 
     def _resize(self, arr: np.ndarray) -> np.ndarray:
         h, w = arr.shape[:2]
@@ -95,7 +103,8 @@ class ImageResizeStage:
             if not blob:
                 continue
             try:
-                out_blobs[i] = encode_image(self._resize(decode_image(blob)), self.fmt)
+                out_blobs[i] = self.encoder(self._resize(self.decoder(blob)),
+                                            self.fmt)
             except (ValueError, NotImplementedError):
                 pass
         return batch.append_column("resized_bytes", pa.array(out_blobs, pa.binary()))
@@ -121,9 +130,14 @@ class AudioFeatureStage:
     ``real_decode`` demands a true codec).  Feature math is numpy FFT
     either way."""
 
-    def __init__(self, bytes_col: str = "bytes", real_decode: bool = False):
+    def __init__(self, bytes_col: str = "bytes", real_decode: bool = False,
+                 decoder=None):
+        """``decoder``: optional ``blob -> (mono float32 pcm, rate)``
+        callable for compressed containers (e.g. an ffmpeg binding in
+        production); WAV/PCM still decodes via the built-in codec."""
         self.bytes_col = bytes_col
         self.real_decode = real_decode
+        self.decoder = decoder
 
     def _decode(self, blob: bytes) -> "tuple[np.ndarray, int, str]":
         if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
@@ -131,6 +145,9 @@ class AudioFeatureStage:
 
             pcm, rate = decode_wav(blob)
             return pcm.mean(axis=1), rate, ""  # downmix to mono
+        if self.decoder is not None:
+            pcm, rate = self.decoder(blob)
+            return np.asarray(pcm, np.float32), int(rate), ""
         if self.real_decode:
             return (np.zeros(1, np.float32), 0,
                     "stubbed: compressed-audio decode needs a codec library")
@@ -200,11 +217,15 @@ class VideoFrameSampleStage:
     contract (list<binary> frames) is unchanged."""
 
     def __init__(self, k: int = 3, side: int = 8, bytes_col: str = "bytes",
-                 real_decode: bool = False):
+                 real_decode: bool = False, demuxer=None):
+        """``demuxer``: optional ``blob -> list[encoded-frame bytes]``
+        callable for real containers (pyav/ffmpeg in production); FPK1
+        packs still demux via the built-in path."""
         self.k = k
         self.side = side
         self.bytes_col = bytes_col
         self.real_decode = real_decode
+        self.demuxer = demuxer
 
     def _fake_frames(self, blob: bytes) -> list[bytes]:
         seed = struct.unpack("<Q", hashlib.blake2b(blob, digest_size=8).digest())[0]
@@ -223,8 +244,9 @@ class VideoFrameSampleStage:
         for blob in blobs:
             blob = blob or b""
             err = ""
-            if blob[:4] == FPK_MAGIC:
-                all_frames = decode_framepack(blob)
+            if blob[:4] == FPK_MAGIC or self.demuxer is not None:
+                all_frames = (decode_framepack(blob) if blob[:4] == FPK_MAGIC
+                              else self.demuxer(blob))
                 # uniform K-sample across the pack (first/last inclusive)
                 if len(all_frames) <= self.k:
                     frames = all_frames

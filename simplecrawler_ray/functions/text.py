@@ -88,29 +88,76 @@ _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
 
+# budget for the dense byte matrix one lockstep chunk may allocate
+# (rows x padded-length elements).  64 MiB: big enough that typical
+# batches run as a single chunk, small enough that one
+# max_resource_size (16 MiB) outlier document cannot inflate a
+# 512-row batch to rows x 16 MiB (= 8 GiB) of padding.
+_FP_CHUNK_ELEMS = 64 << 20
+# chunks narrower than this run the scalar per-byte loop instead: the
+# lockstep recurrence costs max_len numpy dispatches regardless of
+# width, so a 1-row x 16 MiB chunk would pay 16M numpy calls where the
+# Python loop over the bytes is ~10x faster.
+_FP_MIN_LOCKSTEP_ROWS = 8
+_FNV_MASK = (1 << 64) - 1
+
+
+def _fnv1a_scalar(buf: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for byte in buf:
+        h = ((h ^ byte) * 0x100000001B3) & _FNV_MASK
+    return h
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Document fingerprint: 64-bit FNV-1a rolling hash of the text —
     deterministic content id for exact-dup detection.
 
     The recurrence ``h = (h ^ byte) * prime`` is sequential per
-    document but vectorizes ACROSS documents: all docs advance in
-    lockstep one byte position per numpy step (masked once a doc ends),
-    so a batch costs max_len vector ops instead of sum(len) Python
-    ops — ~50x the per-byte loop.  Output identical to the scalar
-    recurrence."""
+    document but vectorizes ACROSS documents: docs advance in lockstep
+    one byte position per numpy step (masked once a doc ends), so a
+    batch costs max_len vector ops instead of sum(len) Python ops.
+    Rows are grouped by length into chunks whose dense padded matrix
+    stays under ``_FP_CHUNK_ELEMS`` (length skew no longer inflates
+    memory by batch_size x max_doc_len); outlier-length chunks too thin
+    to amortize the lockstep dispatch fall back to the scalar loop.
+    Output is identical to the scalar recurrence either way."""
     texts = batch.column(text_col).to_pylist()
     bufs = [(t or "").encode("utf-8") for t in texts]
     n = len(bufs)
     lens = np.array([len(b) for b in bufs], dtype=np.int64)
-    maxlen = int(lens.max()) if n else 0
-    mat = np.zeros((n, maxlen), dtype=np.uint8)
-    for i, b in enumerate(bufs):
-        if b:
-            mat[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
-    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(maxlen):
-            active = lens > j
-            h[active] = (h[active] ^ mat[active, j].astype(np.uint64)) * _FNV_PRIME
-    fps = (h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+    out = np.zeros(n, dtype=np.uint64)
+    order = np.argsort(lens, kind="stable")  # group similar lengths
+    start = 0
+    while start < n:
+        end = start + 1
+        # grow the chunk while the padded matrix stays under budget
+        # (lengths ascend, so the chunk's max len is its last element)
+        while end < n and (end - start + 1) * max(int(lens[order[end]]), 1) \
+                <= _FP_CHUNK_ELEMS:
+            end += 1
+        idx = order[start:end]
+        start = end
+        chunk_max = int(lens[idx[-1]])
+        if chunk_max == 0:
+            out[idx] = _FNV_OFFSET
+            continue
+        if len(idx) < _FP_MIN_LOCKSTEP_ROWS:
+            for i in idx:
+                out[i] = np.uint64(_fnv1a_scalar(bufs[i]))
+            continue
+        clens = lens[idx]
+        mat = np.zeros((len(idx), chunk_max), dtype=np.uint8)
+        for r, i in enumerate(idx):
+            b = bufs[i]
+            if b:
+                mat[r, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        h = np.full(len(idx), _FNV_OFFSET, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(chunk_max):
+                active = clens > j
+                h[active] = ((h[active] ^ mat[active, j].astype(np.uint64))
+                             * _FNV_PRIME)
+        out[idx] = h
+    fps = (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))

@@ -147,7 +147,8 @@ _JOIN_TYPES = {"inner": "inner", "left": "left_outer",
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: "str|list[str]",
               n_buckets: int = 32, how: str = "inner",
-              suffix: str = "_r", aggregator_num_cpus: float = 0.2) -> rd.Dataset:
+              suffix: str = "_r",
+              aggregator_num_cpus: "float | None" = None) -> rd.Dataset:
     """Partitioned hash join for two LARGE sides, via Ray Data's native
     hash-shuffle join operator: both sides are hash-partitioned into
     ``n_buckets`` and each bucket is joined worker-side.  No driver
@@ -162,9 +163,17 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: "str|list[str]",
     keys = tuple([on] if isinstance(on, str) else on)
     # fractional aggregator CPUs: aggregators reserving >= the session's
     # CPU count starve the upstream map/read tasks -> deadlock (e.g.
-    # 8 x 0.5 on a 4-CPU pytest session).  0.2 x n_buckets must stay
-    # well below the smallest session this runs in; the reservation only
-    # gates scheduling, not real parallelism once tasks are running
+    # 8 x 0.5 on a 4-CPU pytest session).  Derive the per-aggregator
+    # reservation from the ACTUAL session size so n_buckets aggregators
+    # collectively reserve at most half the CPUs on any session (the
+    # reservation only gates scheduling, not real parallelism once
+    # tasks are running).
+    if aggregator_num_cpus is None:
+        try:
+            cpus = float(ray.cluster_resources().get("CPU", 4.0))
+        except Exception:
+            cpus = 4.0
+        aggregator_num_cpus = min(0.2, max(0.01, (cpus * 0.5) / n_buckets))
     return left.join(right, _JOIN_TYPES[how], n_buckets, on=keys,
                      right_suffix=suffix,
                      aggregator_ray_remote_args={"num_cpus": aggregator_num_cpus})
@@ -187,6 +196,69 @@ def asof_join(left: rd.Dataset, right_small: "pd.DataFrame", key: str,
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return left.map_batches(join_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
+                          ts_col: str, direction: str = "backward",
+                          suffix: str = "_r") -> rd.Dataset:
+    """As-of join for two LARGE sides: both sides hash-shuffle by
+    ``key`` (one exchange), then each key group runs a local
+    ``pd.merge_asof`` worker-side.  No broadcast, no driver
+    materialization — use this when the right side doesn't fit one
+    node; ``asof_join`` (broadcast) is cheaper for dimension-sized
+    right sides.
+
+    Partitioning assumption: all rows of one ``key`` fit one worker
+    (the group is the unit of work).  Right value columns colliding
+    with left names get ``suffix``.
+    """
+    lschema, rschema = left.schema(), right.schema()
+    lnames, rnames = lschema.names, rschema.names
+    ltypes = dict(zip(lnames, lschema.types))
+    rtypes = dict(zip(rnames, rschema.types))
+    rvals = [c for c in rnames if c not in (key, ts_col)]
+    rmap = {c: (c + suffix if c in lnames else c) for c in rvals}
+    lvals = [c for c in lnames if c not in (key, ts_col)]
+    out_cols = [key, ts_col] + lvals + [rmap[c] for c in rvals]
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key), ts_col: batch.column(ts_col)}
+        for c in lvals:
+            cols[c] = batch.column(c)
+        for c in rvals:
+            cols[rmap[c]] = pa.nulls(batch.num_rows, rtypes[c])
+        cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8))
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key), ts_col: batch.column(ts_col)}
+        for c in lvals:
+            cols[c] = pa.nulls(batch.num_rows, ltypes[c])
+        for c in rvals:
+            cols[rmap[c]] = batch.column(c)
+        cols["__side"] = pa.array(np.ones(batch.num_rows, np.int8))
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        right.map_batches(tag_right, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    rcols_out = [rmap[c] for c in rvals]
+
+    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0]
+        if not len(l):
+            return pd.DataFrame({c: pd.Series([], dtype=group[c].dtype)
+                                 for c in out_cols})
+        l = l.drop(columns=["__side"] + rcols_out).sort_values(
+            ts_col, kind="stable")
+        r = group[group["__side"] == 1]
+        r = r[[ts_col] + rcols_out].sort_values(ts_col, kind="stable")
+        out = pd.merge_asof(l, r, on=ts_col, direction=direction)
+        return out[out_cols]
+
+    return tagged.groupby(key).map_groups(merge_group, batch_format="pandas")
 
 
 def topk(ds: rd.Dataset, sort_cols: list[tuple[str, bool]], k: int) -> pa.Table:

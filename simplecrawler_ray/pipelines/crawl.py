@@ -32,6 +32,7 @@ import time
 from typing import Callable, Optional
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -89,6 +90,78 @@ def _write_block(t: pa.Table, path: str) -> int:
     shared storage, same contract as the turbo sink)."""
     pq.write_table(t, path)
     return t.num_rows
+
+
+def _host_bucket(host: str, n_buckets: int) -> int:
+    """Stable host -> bucket assignment shared by the driver store and
+    worker-side adopt tasks (both must agree for the one-host-one-bucket
+    invariant to hold)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b((host or "").encode(), digest_size=4).digest(),
+        "little") % n_buckets
+
+
+@ray.remote
+def _adopt_frontier_block(block, n_buckets: int):
+    """Worker-side adoption of one turbo-output block into the bucketed
+    frontier store: strip the in-band ``__meta`` counters, partition the
+    admitted rows by host bucket, and ``ray.put`` each part — the
+    driver receives only ``(counters, [(bucket, ref, n_rows,
+    host_counts)])``, never the rows themselves.  This removes the last
+    structure whose driver traffic grew with the crawl (round-2 verdict
+    #1: new-frontier rows used to transit the driver every round)."""
+    from ..stages.turbo import META_COL
+
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    counters: dict[str, int] = {}
+    if META_COL in block.column_names:
+        for blob in block.column(META_COL).to_pylist():
+            if blob:
+                for k, v in json.loads(blob).items():
+                    if isinstance(v, str):  # e.g. __new_host marker
+                        counters[k] = v
+                    else:
+                        counters[k] = counters.get(k, 0) + int(v)
+        block = block.drop_columns([META_COL])
+        block = block.filter(pc.is_valid(block.column("url")))
+    parts = []
+    if block.num_rows:
+        hosts = block.column("host").to_pylist()
+        cache: dict[str, int] = {}
+        assign = np.fromiter(
+            (cache.get(h) if h in cache
+             else cache.setdefault(h, _host_bucket(h, n_buckets))
+             for h in hosts), dtype=np.int32, count=len(hosts))
+        for b in np.unique(assign):
+            part = block.filter(pa.array(assign == b))
+            hc = {e["values"]: e["counts"]
+                  for e in pc.value_counts(part.column("host")).to_pylist()}
+            parts.append((int(b), ray.put(part), part.num_rows, hc))
+    return counters, parts
+
+
+@ray.remote(num_returns=3)
+def _update_frontier_block(block, seq: int, flat: dict):
+    """Worker-side point update (J3 / src/queue.ts:157-174) of one
+    frontier block: if the block holds ``seq``, rewrite the row and
+    return (True, new_block, row_dict); else (False, None, None).  The
+    driver swaps the block ref — rows never transit the driver."""
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    idx = pc.index(block.column("seq"), pa.scalar(seq)).as_py()
+    if idx is None or idx < 0:
+        return False, None, None
+    t = block
+    for col, val in flat.items():
+        vals = t.column(col).to_pylist()
+        vals[idx] = val
+        t = t.set_column(t.schema.get_field_index(col), col,
+                         pa.array(vals, t.schema.field(col).type))
+    row = {c: t.column(c)[idx].as_py() for c in t.column_names}
+    return True, t, row
 
 
 @ray.remote(num_returns=3)
@@ -153,15 +226,31 @@ class _DatasetFrontier:
     def _bucket_of(self, host: str) -> int:
         b = self._host_bucket_cache.get(host)
         if b is None:
-            import hashlib
-
-            b = int.from_bytes(
-                hashlib.blake2b((host or "").encode(), digest_size=4).digest(),
-                "little") % self.n_buckets
+            b = _host_bucket(host, self.n_buckets)
             if len(self._host_bucket_cache) > 1_000_000:
                 self._host_bucket_cache.clear()
             self._host_bucket_cache[host] = b
         return b
+
+    def adopt_parts(self, parts: list) -> None:
+        """Adopt worker-bucketed frontier parts: ``(bucket, ref, n_rows,
+        host_counts)`` tuples from ``_adopt_frontier_block`` — the rows
+        stay in the object store; the driver records refs + counts only
+        (the turbo-path ingestion; `add_table` remains for driver-side
+        row sources: seeds, manual enqueues, checkpoint load)."""
+        if self.flat:
+            # bucket identity is meaningless in a flat store
+            for _, ref, n, hc in parts:
+                self.buckets[0].append(ref)
+                self.bucket_rows[0].append(n)
+                for h, c in hc.items():
+                    self.host_counts[h] = self.host_counts.get(h, 0) + c
+            return
+        for b, ref, n, hc in parts:
+            self.buckets[b].append(ref)
+            self.bucket_rows[b].append(n)
+            for h, c in hc.items():
+                self.host_counts[h] = self.host_counts.get(h, 0) + c
 
     def add_table(self, t: pa.Table) -> None:
         if t.num_rows == 0:
@@ -282,6 +371,9 @@ DEFAULT_CONFIG = dict(
     auth_user=None,
     auth_pass=None,
     custom_headers=None,
+    track_fetch_order=True,  # keep the per-URL fetch log (conformance /
+                             # FIFO assertions).  Disable for large crawls:
+                             # the list grows O(fetched) on the driver.
     robots_pool_shards=0,   # >0: sharded RobotsShard actors fetch robots.txt
     frontier_backend="driver",  # "driver": Arrow table on the driver (exact,
                                # sandbox default); "dataset": queued rows live
@@ -408,12 +500,14 @@ class CrawlEngine:
 
     def update_queued(self, seq: int, updates: dict) -> dict:
         """FetchQueue.update parity (src/queue.ts:157-174): deep-assign
-        nested updates into a queued row by seq between rounds.  Driver
-        frontier backend only (the dataset backend's rows are immutable
-        blocks; freeze/defrost to patch at rest)."""
+        nested updates into a queued row by seq between rounds.
+
+        Driver backend: in-place table patch.  Dataset backend: the
+        block holding ``seq`` is rewritten WORKER-side
+        (`_update_frontier_block`) and its ref swapped — rows stay in
+        the object store."""
         if self._frontier is not None:
-            raise NotImplementedError(
-                "update_queued requires frontier_backend='driver'")
+            return self._update_queued_ds(seq, updates)
         from ..queue_api import FrontierQueue
 
         idx = pc.index(self.queued.column("seq"), pa.scalar(seq)).as_py()
@@ -423,6 +517,32 @@ class CrawlEngine:
         row = q.update(idx, updates)
         self.queued = q._data
         return row
+
+    def _update_queued_ds(self, seq: int, updates: dict) -> dict:
+        from ..queue_api import _flatten_comparator
+
+        flat = _flatten_comparator(updates)
+        schema_cols = {f.name for f in FRONTIER_SCHEMA}
+        for col in flat:
+            if col not in schema_cols:
+                raise KeyError(f"unknown column {col!r}")
+        if "host" in flat or "seq" in flat:
+            # host is the bucketing key and seq the identity — a rewrite
+            # would silently break the store's invariants
+            raise ValueError(
+                "updating 'host' or 'seq' is not supported on the dataset "
+                "frontier backend (bucket/identity invariants)")
+        fr = self._frontier
+        pending = []  # (bucket, block_idx, found_ref, new_ref, row_ref)
+        for b in range(fr.n_buckets):
+            for i, ref in enumerate(fr.buckets[b]):
+                f, n, r = _update_frontier_block.remote(ref, seq, flat)
+                pending.append((b, i, f, n, r))
+        for b, i, f, n, r in pending:
+            if ray.get(f):
+                fr.buckets[b][i] = n
+                return ray.get(r)
+        raise KeyError(f"no queued row with seq {seq}")
 
     def wait(self) -> Callable[[], None]:
         """Async-listener completion barrier (T6, crawler.ts:1140-1160):
@@ -746,7 +866,8 @@ class CrawlEngine:
               if wave.num_rows == 0:
                   return True
 
-        self.fetch_order.extend(wave.column("url").to_pylist())
+        if self.cfg["track_fetch_order"]:
+            self.fetch_order.extend(wave.column("url").to_pylist())
         self._count("fetchstart", wave.num_rows)
 
         # ---- distributed fetch+parse ----
@@ -822,39 +943,59 @@ class CrawlEngine:
                             self.cache_index[u] = (etag, lastmod)
 
         # ---- redirect candidates (depth pinning + initial domain change) ----
+        # filter to redirect rows FIRST (like turbo.py) — no O(fetched)
+        # Python loop; the loop below touches only redirect rows.
         _t_redir = self._timed("redirects"); _t_redir.__enter__()
         redirect_cands = []
-        sorted_fetched = fetched.take(pc.sort_indices(fetched, sort_keys=[("seq", "ascending")]))
-        for seq, url, depth, disp, loc in zip(
-            sorted_fetched.column("seq").to_pylist(),
-            sorted_fetched.column("url").to_pylist(),
-            sorted_fetched.column("depth").to_pylist(),
-            sorted_fetched.column("disposition").to_pylist(),
-            sorted_fetched.column("location").to_pylist(),
-        ):
-            if disp == "fetchredirect" and loc:
+        redir_mask = pc.equal(fetched.column("disposition"), "fetchredirect")
+        redirects = fetched.filter(redir_mask)
+        n_non_redirect = fetched.num_rows - redirects.num_rows
+        # first_request stays True through the initial redirect chain:
+        # in seq order it flips on the first non-redirect row, so only
+        # redirect rows with seq < that row's seq are "first requests"
+        # (crawler.ts:1947-1953).
+        first_cutoff = None
+        if self.first_request and n_non_redirect:
+            first_cutoff = pc.min(
+                fetched.filter(pc.invert(redir_mask)).column("seq")).as_py()
+        if redirects.num_rows:
+            redirects = redirects.take(
+                pc.sort_indices(redirects, sort_keys=[("seq", "ascending")]))
+            for seq, url, depth, loc in zip(
+                redirects.column("seq").to_pylist(),
+                redirects.column("url").to_pylist(),
+                redirects.column("depth").to_pylist(),
+                redirects.column("location").to_pylist(),
+            ):
+                if not loc:
+                    continue
+                is_first = self.first_request and (
+                    first_cutoff is None or seq < first_cutoff)
                 target = process_url(loc, url, depth, CanonOpts(
                     strip_querystring=self.cfg["strip_querystring"],
                     sort_query_parameters=self.cfg["sort_query_parameters"],
                     strip_www_domain=self.cfg["strip_www_domain"]))
-                override = 1 if self.first_request else -1
-                if target is not None and self.first_request and self.cfg["allow_initial_domain_change"]:
+                override = 1 if is_first else -1
+                if target is not None and is_first and self.cfg["allow_initial_domain_change"]:
                     self.cfg["host"] = target.host
                 redirect_cands.append(dict(candidate=loc, referrer_url=url,
                                            referrer_depth=depth, parent_seq=seq,
                                            pos=0, depth_override=override))
-            elif disp not in ("fetchredirect",):
-                self.first_request = False
+        if n_non_redirect:
+            self.first_request = False
 
         # ---- fetch-complete hook (manual discovery, §2.10) ----
         if self.fetch_complete_hook is not None:
-            for row in sorted_fetched.to_pylist():
-                if row["status"] == "downloaded":
-                    extra = self.fetch_complete_hook(row) or []
-                    for u in extra:
-                        self._manual.append(dict(candidate=u, referrer_url=row["url"],
-                                                 referrer_depth=row["depth"],
-                                                 parent_seq=row["seq"], pos=0))
+            downloaded = fetched.filter(
+                pc.equal(fetched.column("status"), "downloaded"))
+            downloaded = downloaded.take(
+                pc.sort_indices(downloaded, sort_keys=[("seq", "ascending")]))
+            for row in downloaded.to_pylist():
+                extra = self.fetch_complete_hook(row) or []
+                for u in extra:
+                    self._manual.append(dict(candidate=u, referrer_url=row["url"],
+                                             referrer_depth=row["depth"],
+                                             parent_seq=row["seq"], pos=0))
 
         _t_redir.__exit__(None, None, None)
         # ---- discovered candidates (explode + canonicalize) ----
@@ -988,19 +1129,45 @@ class CrawlEngine:
                     batch_size=bs,
                     zero_copy_batch=True,
                 )
-                from ..ops import gather_tables as _gt
+                if self._frontier is not None:
+                    # dataset backend: admitted rows NEVER transit the
+                    # driver — each output block is bucketed + ray.put
+                    # worker-side; only (counters, refs, counts) arrive
+                    out = ds.materialize()
+                    block_refs = [ref for bundle in
+                                  out.iter_internal_ref_bundles()
+                                  for ref, _meta in bundle.blocks]
+                    adopted = ray.get([
+                        _adopt_frontier_block.remote(r, self._frontier.n_buckets)
+                        for r in block_refs])
+                    counters = {}
+                    with self._timed("merge"):
+                        for c, parts in adopted:
+                            for k, v in c.items():
+                                if isinstance(v, str):
+                                    counters[k] = v
+                                else:
+                                    counters[k] = counters.get(k, 0) + v
+                            if parts:
+                                self._frontier.adopt_parts(parts)
+                else:
+                    from ..ops import gather_tables as _gt
 
-                new_tables, counters = split_meta(_gt(ds))
+                    new_tables, counters = split_meta(_gt(ds))
+            new_host = counters.pop("__new_host", None)
+            if new_host and self.first_request \
+                    and self.cfg["allow_initial_domain_change"]:
+                # first-request redirect adopted a new crawl host
+                # (crawler.ts:1951-1953) — rebroadcast the config
+                self.cfg["host"] = new_host
+                cfg_ref = ray.put(self.cfg)
             if counters.pop("__nonredirect", 0):
                 self.first_request = False
             for k, v in counters.items():
                 self._count(k, v)
-            with self._timed("merge"):
-                if new_tables:
-                    if self._frontier is not None:
-                        for t in new_tables:
-                            self._frontier.add_table(t)
-                    else:
+            if self._frontier is None:
+                with self._timed("merge"):
+                    if new_tables:
                         merged = pa.concat_tables(new_tables)
                         self.queued = (pa.concat_tables([self.queued, merged])
                                        if self.queued.num_rows else merged)

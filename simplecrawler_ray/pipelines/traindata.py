@@ -48,7 +48,11 @@ def run_training_pipeline(ds: rd.Dataset, *, max_tokens: int = 512,
     # semi join back: only surviving ids pass, no driver-side id set
     from ..ops import hash_join
 
-    deduped = hash_join(ds, keep_ids, on=id_col, n_buckets=8, how="semi")
+    # materialize once: both the quality branch and the dedup count below
+    # consume this — without it the whole read->hash->groupby->join chain
+    # would execute twice (round-2 q_train_pipeline was 10x query median).
+    deduped = hash_join(ds, keep_ids, on=id_col, n_buckets=8,
+                        how="semi").materialize()
 
     # 2. quality + token filters (vectorized counts)
     def quality_filter(batch: pa.Table) -> pa.Table:

@@ -198,9 +198,12 @@ class CandidateProcessor:
                 }
                 from ..conditions import eval_condition
 
+                # two-arg conditions get the referrer item — the
+                # reference's (queueItem, referrerQueueItem) shape
+                ref_item = {"url": ref, "depth": depth - 1} if ref else None
                 for cond in self.fetch_conditions:
                     try:
-                        ok = eval_condition(cond, qi)
+                        ok = eval_condition(cond, qi, ref_item)
                     except Exception:
                         reason = "fetchconditionerror"
                         break

@@ -279,12 +279,19 @@ class Fetcher:
                 errored = False
                 from ..conditions import eval_condition
 
+                # two-arg conditions get the response dict as the second
+                # argument — the reference's (queueItem, response) shape
+                # (src/crawler.ts:1180-1211)
+                response_item = {"code": resp.code, "content_type": ct,
+                                 "headers": dict(resp.headers),
+                                 "content_length": resp.content_length}
                 for cond in self.download_conditions:
                     try:
                         if not eval_condition(
                                 cond,
                                 {"url": url, "host": hosts[i], "path": paths[i],
-                                 "code": resp.code, "content_type": ct}):
+                                 "code": resp.code, "content_type": ct},
+                                response_item):
                             vetoed = True
                             break
                     except Exception:

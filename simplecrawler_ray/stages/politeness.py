@@ -112,6 +112,12 @@ def dequeue_oldest_ds(queued: rd.Dataset, w: int) -> tuple[pa.Table, rd.Dataset]
         tables = gather_tables(mat)
         wave = (pa.concat_tables(tables, promote_options="default")
                 if tables else _empty_like(queued))
+        # blocks arrive in bucket order, not insertion order — sort by seq
+        # so multi-host conformance waves stay FIFO (matches the driver
+        # backend's fetch order / candidate seq stamping).
+        if wave.num_rows:
+            wave = wave.take(
+                pc.sort_indices(wave, sort_keys=[("seq", "ascending")]))
         return wave, rd.from_arrow(wave.schema.empty_table())
 
     def local_seqs(batch: pa.Table) -> pa.Table:

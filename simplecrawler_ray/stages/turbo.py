@@ -21,10 +21,11 @@ execution per round and near-zero driver work:
 * duplicate-candidate ties within a round are won by whichever task
   reaches the seen shard first (the reference's first-wins per
   arrival order — arrival order is just no longer deterministic).
-* ``allow_initial_domain_change`` (crawler.ts first-request redirect
-  special case) is not applied in turbo — the seed's redirect target
-  is still queued (depth pinned to 1), but ``cfg.host`` is not
-  rewritten mid-flight.  Use ``run()`` if you rely on it.
+* ``allow_initial_domain_change`` (crawler.ts:1951-1953 first-request
+  redirect special case) IS applied: the batch holding the seed's
+  redirect adopts the target host for its own candidate filtering and
+  reports it via ``__meta`` (``__new_host``); the driver rewrites
+  ``cfg.host`` and rebroadcasts before the next round.
 
 Politeness still holds: the driver applies the per-host budget when
 building the next wave from the returned rows.
@@ -77,7 +78,10 @@ def split_meta(tables: list[pa.Table]) -> tuple[list[pa.Table], dict]:
         for blob in t.column(META_COL).to_pylist():
             if blob:
                 for k, v in json.loads(blob).items():
-                    counters[k] = counters.get(k, 0) + int(v)
+                    if isinstance(v, str):  # e.g. __new_host marker
+                        counters[k] = v
+                    else:
+                        counters[k] = counters.get(k, 0) + int(v)
         t = t.drop_columns([META_COL])
         t = t.filter(pc.is_valid(t.column("url")))
         if t.num_rows:
@@ -129,6 +133,20 @@ def turbo_round_udf(batch: pa.Table, *, web_ref, cfg_ref, robots_ref,
     redirs = fetched.filter(redir_mask)
     if redirs.num_rows:
         override = 1 if first_request else -1
+        if first_request and cfg.get("allow_initial_domain_change"):
+            # first-request redirect host rewrite (crawler.ts:1951-1953):
+            # adopt the target host for THIS batch's candidate filtering
+            # and report it in-band so the driver rewrites cfg.host
+            from ..urlnorm import process_url
+
+            first_i = int(pc.index(redirs.column("seq"),
+                                   pc.min(redirs.column("seq"))).as_py())
+            tgt = process_url(redirs.column("location")[first_i].as_py(),
+                              redirs.column("url")[first_i].as_py())
+            if tgt is not None and tgt.host:
+                counters["__new_host"] = tgt.host
+                proc = CandidateProcessor({**cfg, "host": tgt.host},
+                                          proc.robots)
         redir_cands = candidate_table([
             dict(candidate=loc, referrer_url=url, referrer_depth=dep,
                  parent_seq=seq, pos=0, depth_override=override)

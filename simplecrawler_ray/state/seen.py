@@ -45,17 +45,33 @@ class ExactBackend:
         self._set: set[int] = set()
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        """Batch check-and-insert, first occurrence wins.
+
+        Vectorized: np.unique picks each hash's first position, a bulk
+        ``set - set`` difference (C loop) finds the genuinely-new
+        values, and np.isin maps them back to positions — no Python
+        per-element loop (the round-2 version was ~120k hashes/s of
+        pure Python per shard)."""
         out = np.zeros(len(hashes), dtype=bool)
-        s = self._set
-        for i, h in enumerate(hashes.tolist()):
-            if h not in s:
-                s.add(h)
-                out[i] = True
+        if not len(hashes):
+            return out
+        uniq, first_idx = np.unique(hashes, return_index=True)
+        new = set(uniq.tolist()) - self._set
+        if new:
+            self._set |= new
+            new_arr = np.fromiter(new, dtype=np.uint64, count=len(new))
+            out[first_idx[np.isin(uniq, new_arr, assume_unique=True)]] = True
         return out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
-        s = self._set
-        return np.fromiter((h in s for h in hashes.tolist()), dtype=bool, count=len(hashes))
+        if not len(hashes):
+            return np.zeros(0, dtype=bool)
+        uniq = np.unique(hashes)
+        present = set(uniq.tolist()) & self._set
+        if not present:
+            return np.zeros(len(hashes), dtype=bool)
+        present_arr = np.fromiter(present, dtype=np.uint64, count=len(present))
+        return np.isin(hashes, present_arr)
 
     def add(self, hashes: np.ndarray) -> None:
         self._set.update(hashes.tolist())

@@ -1,0 +1,89 @@
+"""Condition-shape semantics (SURVEY §2.10 / conditions.integration.spec.ts):
+sync one/two-arg, coroutine, callback two/three-arg, deferred callbacks."""
+
+import threading
+
+import pytest
+
+from simplecrawler_ray.conditions import ConditionError, eval_condition
+
+QI = {"url": "http://x/", "path": "/", "depth": 2}
+REF = {"url": "http://x/ref", "depth": 1}
+
+
+def test_sync_one_arg():
+    assert eval_condition(lambda qi: qi["depth"] == 2, QI) is True
+    assert eval_condition(lambda qi: False, QI) is False
+
+
+def test_sync_two_arg_referrer_shape():
+    """Reference (queueItem, referrerQueueItem) sync shape: second param
+    NOT named done/callback/cb -> receives the referrer item, result is
+    the return value (previously misclassified as callback + always
+    passed)."""
+    seen = {}
+
+    def cond(queue_item, referrer_item):
+        seen["ref"] = referrer_item
+        return referrer_item is not None and referrer_item["depth"] == 1
+
+    assert eval_condition(cond, QI, REF) is True
+    assert seen["ref"] == REF
+    assert eval_condition(cond, QI, None) is False
+
+
+def test_callback_two_arg():
+    def cond(qi, done):
+        done(None, qi["depth"] == 2)
+
+    assert eval_condition(cond, QI) is True
+
+    def veto(qi, done):
+        done(None, False)
+
+    assert eval_condition(veto, QI) is False
+
+
+def test_callback_three_arg_reference_shape():
+    def cond(qi, ref, callback):
+        callback(None, ref["depth"] == 1)
+
+    assert eval_condition(cond, QI, REF) is True
+
+
+def test_callback_error_raises():
+    def cond(qi, done):
+        done("boom")
+
+    with pytest.raises(ConditionError):
+        eval_condition(cond, QI)
+
+    def cond2(qi, done):
+        done(RuntimeError("typed boom"))
+
+    with pytest.raises(RuntimeError):
+        eval_condition(cond2, QI)
+
+
+def test_deferred_callback_veto_not_dropped():
+    """A callback fired from another thread after the condition returns
+    must still decide the outcome (the reference's async.every waits)."""
+    def cond(qi, done):
+        threading.Timer(0.05, lambda: done(None, False)).start()
+
+    assert eval_condition(cond, QI) is False
+
+
+def test_callback_never_fired_raises_not_passes():
+    def cond(qi, done):
+        pass  # forgets the callback entirely
+
+    with pytest.raises(ConditionError):
+        eval_condition(cond, QI, timeout=0.1)
+
+
+def test_coroutine_condition():
+    async def cond(qi):
+        return qi["depth"] == 2
+
+    assert eval_condition(cond, QI) is True

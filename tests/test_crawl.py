@@ -730,3 +730,70 @@ def test_add_remove_fetch_condition(web):
     assert "http://127.0.0.1:3000/stage2" in urls        # removed condition
     assert "http://127.0.0.1:3000/sitemap.xml" not in urls  # active one
     eng.seen.shutdown()
+
+
+def test_turbo_dataset_frontier_rows_never_transit_driver(tmp_path, monkeypatch):
+    """Round-2 verdict #1: on the turbo + dataset-frontier path, admitted
+    new-frontier rows are bucketed and ray.put worker-side
+    (_adopt_frontier_block) — the driver's add_table only ever sees the
+    seed row, no matter how many URLs the crawl admits."""
+    from simplecrawler_ray.pipelines import crawl as crawl_mod
+
+    rows_via_add_table = []
+    orig = crawl_mod._DatasetFrontier.add_table
+
+    def spy(self, t):
+        rows_via_add_table.append(t.num_rows)
+        return orig(self, t)
+
+    monkeypatch.setattr(crawl_mod._DatasetFrontier, "add_table", spy)
+    sw = ScaleWeb(n_pages=60, n_hosts=4, out_degree=3)
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, batch_size=16,
+                      frontier_backend="dataset")
+    out = eng.run_turbo(str(tmp_path / "sink"), max_rounds=60)
+    assert out["fetched"] == 60
+    assert sum(rows_via_add_table) <= 1, (
+        f"admitted rows transited the driver: {rows_via_add_table}")
+    eng.seen.shutdown()
+
+
+def test_update_queued_dataset_backend(web):
+    """Round-2 verdict #6: update() works on the dataset frontier —
+    the holding block is rewritten worker-side and its ref swapped."""
+    eng = CrawlEngine(web, SEED, seen_shards=2, frontier_backend="dataset")
+    eng.seed_frontier(["http://127.0.0.1:3000/stage7",
+                       "http://127.0.0.1:3000/stage8"])
+    qt = eng.queued_table()
+    seq = qt.column("seq")[0].as_py()
+    row = eng.update_queued(seq, {"stateData": {"code": 999}})
+    assert row["state_code"] == 999
+    qt2 = eng.queued_table()
+    codes = dict(zip(qt2.column("seq").to_pylist(),
+                     qt2.column("state_code").to_pylist()))
+    assert codes[seq] == 999
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        eng.update_queued(10**9, {"stateData": {"code": 1}})
+    with _pytest.raises(ValueError):
+        eng.update_queued(seq, {"host": "evil.example"})
+    eng.seen.shutdown()
+
+
+@pytest.mark.parametrize("backend", ["driver", "dataset"])
+def test_turbo_initial_domain_change_allowed(tmp_path, backend):
+    """Round-2 verdict #9: turbo applies allow_initial_domain_change —
+    the seed's redirect target host becomes cfg.host (threaded back via
+    __meta) and the changed-domain page is crawled, like run()."""
+    import ray.data as rd
+
+    web = ConformanceWeb()
+    eng = CrawlEngine(web, "http://127.0.0.1:3000/domain-redirect",
+                      seen_shards=2, allow_initial_domain_change=True,
+                      frontier_backend=backend)
+    out = eng.run_turbo(str(tmp_path / "sink"), max_rounds=20)
+    t = rd.read_parquet(str(tmp_path / "sink")).to_pandas()
+    st = dict(zip(t["url"], t["status"]))
+    assert st.get("http://localhost:3000/") == "downloaded"
+    assert eng.cfg["host"] == "localhost"
+    eng.seen.shutdown()

@@ -166,3 +166,42 @@ def test_framepack_roundtrip_and_sampling():
     out2 = VideoFrameSampleStage(k=3, real_decode=True)(batch)
     assert out2.column("frame_count").to_pylist()[1] == 0
     assert "stubbed" in out2.column("video_decode_error").to_pylist()[1]
+
+
+def test_pluggable_decoders_injection():
+    """Round-2 verdict #8: production codecs plug in through stage
+    constructors — no stage edits.  A fake 'real JPEG' decoder, audio
+    decoder and video demuxer are injected and drive the same plumbing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from simplecrawler_ray.functions.imagecodec import encode_image
+    from simplecrawler_ray.functions.multimodal import (
+        AudioFeatureStage, ImageDecodeStage, VideoFrameSampleStage)
+
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+
+    def jpeg_decoder(blob):
+        assert blob == b"\xff\xd8fakejpeg"
+        return rgb
+
+    batch = pa.table({"bytes": pa.array([b"\xff\xd8fakejpeg"], pa.binary())})
+    out = ImageDecodeStage(decoder=jpeg_decoder)(batch)
+    assert out.column("decode_error")[0].as_py() == ""
+    assert out.column("img_w")[0].as_py() == 4
+
+    def mp3_decoder(blob):
+        return np.ones(256, np.float32) * 0.5, 22050
+
+    abatch = pa.table({"bytes": pa.array([b"ID3fakemp3"], pa.binary())})
+    aout = AudioFeatureStage(decoder=mp3_decoder)(abatch)
+    assert aout.column("audio_sr")[0].as_py() == 22050
+    assert abs(aout.column("audio_rms")[0].as_py() - 0.5) < 1e-6
+
+    def mp4_demuxer(blob):
+        return [encode_image(rgb, "png") for _ in range(7)]
+
+    vbatch = pa.table({"bytes": pa.array([b"\x00\x00\x00 ftypisom"], pa.binary())})
+    vout = VideoFrameSampleStage(k=3, demuxer=mp4_demuxer)(vbatch)
+    assert vout.column("frame_count")[0].as_py() == 3
+    assert vout.column("video_decode_error")[0].as_py() == ""

@@ -407,3 +407,61 @@ def test_training_pipeline_end_to_end():
     assert out["n_train"] + out["n_val"] + out["n_test"] == 197
     assert out["n_packs"] >= 1
     assert 0 < out["mean_pack_fill"] <= 1.0
+
+
+def test_asof_join_partitioned_matches_broadcast():
+    """Two-large-sides as-of (round-2 verdict #7): hash-shuffle both
+    sides by key + per-group merge_asof must equal the broadcast
+    operator, with a right side spread over multiple blocks."""
+    from simplecrawler_ray.ops import asof_join, asof_join_partitioned
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame({
+        "key": rng.choice(list("abcdefgh"), n_l),
+        "ts": rng.integers(0, 10_000, n_l).astype("int64"),
+        "lv": np.arange(n_l),
+    })
+    right = pd.DataFrame({
+        "key": rng.choice(list("abcdefgh"), n_r),
+        "ts": rng.integers(0, 10_000, n_r).astype("int64"),
+        "px": rng.random(n_r),
+    })
+    # multi-block right side
+    right_ds = rd.from_pandas([right.iloc[i::4].reset_index(drop=True)
+                               for i in range(4)])
+    got = asof_join_partitioned(
+        rd.from_pandas(left), right_ds, key="key", ts_col="ts").to_pandas()
+    exp = asof_join(rd.from_pandas(left), right, key="key",
+                    ts_col="ts").to_pandas()
+    got = got.sort_values(["key", "ts", "lv"]).reset_index(drop=True)
+    exp = exp.sort_values(["key", "ts", "lv"]).reset_index(drop=True)
+    assert len(got) == len(exp) == n_l
+    pd.testing.assert_series_equal(
+        got["px"].reset_index(drop=True), exp["px"].reset_index(drop=True),
+        check_names=False)
+
+
+def test_fingerprint_chunked_matches_scalar():
+    """Length-skewed batches (one huge doc among tiny ones) must hash
+    identically to the scalar recurrence without a dense n x max_len
+    allocation (ADVICE round-2: memory blowup)."""
+    import pyarrow as pa
+
+    from simplecrawler_ray.functions import text as text_mod
+    from simplecrawler_ray.functions.text import _fnv1a_scalar, fingerprint_batch
+
+    texts = ["", "a", "short doc", "x" * 100_000] + [f"doc {i}" for i in range(50)]
+    batch = pa.table({"text": pa.array(texts, pa.string())})
+    out = fingerprint_batch(batch)
+    got = out.column("fingerprint").to_pylist()
+    exp = [(_fnv1a_scalar(t.encode()) & 0x7FFFFFFFFFFFFFFF) for t in texts]
+    assert got == exp
+    # tiny chunk budget forces multi-chunk path; results identical
+    old = text_mod._FP_CHUNK_ELEMS
+    try:
+        text_mod._FP_CHUNK_ELEMS = 1 << 10
+        got2 = fingerprint_batch(batch).column("fingerprint").to_pylist()
+    finally:
+        text_mod._FP_CHUNK_ELEMS = old
+    assert got2 == exp
