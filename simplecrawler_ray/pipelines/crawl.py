@@ -375,6 +375,11 @@ DEFAULT_CONFIG = dict(
                              # FIFO assertions).  Disable for large crawls:
                              # the list grows O(fetched) on the driver.
     robots_pool_shards=0,   # >0: sharded RobotsShard actors fetch robots.txt
+    robots_cache_max_hosts=100_000,  # driver-side rules cache bound: past
+                            # this, the sharded pool auto-enables and the
+                            # oldest driver entries are evicted (shards keep
+                            # the rules; re-ensure is one RPC, no refetch)
+    robots_pool_auto_shards=8,  # pool size used by the auto-enable
     frontier_backend="driver",  # "driver": Arrow table on the driver (exact,
                                # sandbox default); "dataset": queued rows live
                                # in the object store, dequeue is the salted
@@ -661,6 +666,13 @@ class CrawlEngine:
         ``robots_pool_shards`` > 0 the fetching itself is distributed
         across RobotsShard actors (state/robots_pool.py, T2 scale path).
         Returns sitemap candidates."""
+        cap = self.cfg["robots_cache_max_hosts"]
+        if (not self.cfg["robots_pool_shards"] and cap
+                and len(self.robots_cache) > cap):
+            # scale guard: past the cap the driver must not keep fetching
+            # and holding every host's rules — switch to the sharded pool
+            # (round-2 verdict #10)
+            self.cfg["robots_pool_shards"] = self.cfg["robots_pool_auto_shards"]
         if self.cfg["robots_pool_shards"]:
             from ..state.robots_pool import RobotsPool
 
@@ -674,6 +686,15 @@ class CrawlEngine:
             if not new_hosts:
                 return None
             self.robots_cache.update(self._robots_pool.ensure(new_hosts))
+            cap = self.cfg["robots_cache_max_hosts"]
+            if cap and len(self.robots_cache) > cap:
+                # bound driver memory: evict oldest entries not needed by
+                # this wave — the shards still hold them, so a future wave
+                # re-ensures with one RPC instead of a refetch
+                excess = len(self.robots_cache) - cap
+                for hk in [k for k in self.robots_cache
+                           if k not in hosts][:excess]:
+                    del self.robots_cache[hk]
             for err in self._robots_pool.drain_errors():
                 self.robots_errors.append(err)
                 self._count("robotstxterror")

@@ -797,3 +797,22 @@ def test_turbo_initial_domain_change_allowed(tmp_path, backend):
     assert st.get("http://localhost:3000/") == "downloaded"
     assert eng.cfg["host"] == "localhost"
     eng.seen.shutdown()
+
+
+def test_robots_cache_auto_shards_and_bounded_driver(tmp_path):
+    """Round-2 verdict #10: past robots_cache_max_hosts the sharded
+    robots pool auto-enables and the driver cache is evicted down to the
+    cap — many-host crawls keep driver robots memory bounded while
+    still fetching everything."""
+    sw = ScaleWeb(n_pages=60, n_hosts=12, out_degree=3)
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, batch_size=16,
+                      robots_cache_max_hosts=4, robots_pool_auto_shards=2)
+    out = eng.run_turbo(str(tmp_path / "sink"), max_rounds=60)
+    assert out["fetched"] == 60
+    assert eng.cfg["robots_pool_shards"] == 2  # auto-enabled
+    # bounded: cap + at most one wave's worth of hosts
+    assert len(eng.robots_cache) <= 4 + 12
+    if eng._robots_pool is not None:
+        eng._robots_pool.shutdown()
+    eng.seen.shutdown()

@@ -228,3 +228,174 @@ def test_etag_304_over_real_http(cserver):
     r2 = e2.run(max_rounds=3)
     assert r2.metrics.get("notmodified", 0) == 1
     e2.seen.shutdown()
+
+
+class CountingHandler(BaseHTTPRequestHandler):
+    """HTTP/1.1 keep-alive handler that counts TCP connections."""
+    protocol_version = "HTTP/1.1"
+    connections = 0
+
+    def log_message(self, *a):
+        pass
+
+    def setup(self):
+        type(self).connections += 1
+        super().setup()
+
+    def do_GET(self):
+        body = f"ok:{self.path}".encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def test_httpweb_keep_alive_reuses_connection():
+    """Round-2 verdict #5: sequential fetches to one host reuse a single
+    kept-alive socket; keep_alive=False opens one per request."""
+    CountingHandler.connections = 0
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), CountingHandler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        web = HttpWeb()
+        for i in range(6):
+            r = web.get(f"{base}/p{i}")
+            assert r.code == 200 and r.body == f"ok:/p{i}".encode()
+        reused = CountingHandler.connections
+        assert reused == 1, f"expected 1 connection, saw {reused}"
+
+        CountingHandler.connections = 0
+        web2 = HttpWeb(keep_alive=False)
+        for i in range(3):
+            assert web2.get(f"{base}/q{i}").code == 200
+        assert CountingHandler.connections == 3
+    finally:
+        srv.shutdown()
+
+
+def _self_signed(tmp_path):
+    """Generate a self-signed cert for 127.0.0.1 (test TLS server)."""
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = datetime.datetime.utcnow()
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(days=1))
+            .not_valid_after(now + datetime.timedelta(days=1))
+            .add_extension(x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.ip_address("127.0.0.1"))]), False)
+            .sign(key, hashes.SHA256()))
+    certf = tmp_path / "cert.pem"
+    keyf = tmp_path / "key.pem"
+    certf.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    keyf.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM, serialization.PrivateFormat.TraditionalOpenSSL,
+        serialization.NoEncryption()))
+    return str(certf), str(keyf)
+
+
+class _ConnectProxy:
+    """Minimal CONNECT-tunneling forward proxy (blind byte pump)."""
+
+    def __init__(self):
+        import socket as _s
+
+        self.sock = _s.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(8)
+        self.port = self.sock.getsockname()[1]
+        self.tunnels = []  # recorded CONNECT targets
+        self._stop = False
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        import socket as _s
+
+        while not self._stop:
+            try:
+                client, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._handle, args=(client,),
+                             daemon=True).start()
+
+    def _handle(self, client):
+        import socket as _s
+
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            chunk = client.recv(4096)
+            if not chunk:
+                client.close()
+                return
+            buf += chunk
+        line = buf.split(b"\r\n", 1)[0].decode()
+        method, target, _ = line.split(" ", 2)
+        if method != "CONNECT":
+            client.sendall(b"HTTP/1.1 405 Method Not Allowed\r\n\r\n")
+            client.close()
+            return
+        host, _, port = target.partition(":")
+        self.tunnels.append(target)
+        upstream = _s.create_connection((host, int(port)))
+        client.sendall(b"HTTP/1.1 200 Connection Established\r\n\r\n")
+
+        def pump(src, dst):
+            try:
+                while True:
+                    data = src.recv(65536)
+                    if not data:
+                        break
+                    dst.sendall(data)
+            except OSError:
+                pass
+            finally:
+                try:
+                    dst.shutdown(_s.SHUT_WR)
+                except OSError:
+                    pass
+
+        threading.Thread(target=pump, args=(client, upstream), daemon=True).start()
+        pump(upstream, client)
+
+    def shutdown(self):
+        self._stop = True
+        self.sock.close()
+
+
+def test_httpweb_https_through_connect_proxy(tmp_path):
+    """Round-2 ADVICE: https through a forward proxy must use a CONNECT
+    tunnel (absolute-URI GET over plaintext fails on real proxies).
+    Full stack: HttpWeb -> CONNECT proxy -> TLS server."""
+    import ssl as _ssl
+
+    certf, keyf = _self_signed(tmp_path)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certf, keyf)
+    srv.socket = ctx.wrap_socket(srv.socket, server_side=True)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    tls_port = srv.server_address[1]
+    proxy = _ConnectProxy()
+    try:
+        web = HttpWeb(use_proxy=True, proxy_hostname="127.0.0.1",
+                      proxy_port=proxy.port, verify_tls=False)
+        r = web.get(f"https://127.0.0.1:{tls_port}/target")
+        assert r is not None and r.code == 200
+        assert r.body == b"target reached"
+        assert f"127.0.0.1:{tls_port}" in proxy.tunnels  # CONNECT was used
+    finally:
+        proxy.shutdown()
+        srv.shutdown()
