@@ -210,28 +210,49 @@ def _q_embed_knn(sf_dir: str):
 
 
 def _q_priority_revenue(sf_dir: str):
-    """Both-sides-large partitioned hash join (orders x lineitem)."""
+    """Both-sides-large partitioned hash join (orders x lineitem).
+
+    The lineitem side is pre-combined per batch (exact scaled-int
+    revenue partials keyed by orderkey) BEFORE the shuffle join, so the
+    exchange moves one row per (batch, orderkey) instead of one per
+    lineitem — the push-aggregation-below-the-join rule.  rev =
+    price*(1-disc) is exact at 4 decimals (2+2); rint at scale 1e4
+    recovers the exact decimal value, and all partial/final sums are
+    int64, so the result is order-independent and bit-equal to the
+    DECIMAL oracle."""
+    import pandas as pd
     import pyarrow.compute as pc
 
-    from simplecrawler_ray.ops import groupby_agg, hash_join
+    from simplecrawler_ray.ops import hash_join
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def revenue(t: pa.Table) -> pa.Table:
+    def revenue_partial(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        return pa.table({"o_orderkey": t.column("l_orderkey"), "rev": rev})
+        sc = pc.cast(pc.round(pc.multiply(rev, pa.scalar(1e4))), pa.int64())
+        df = (pa.table({"o_orderkey": t.column("l_orderkey"), "rev_sc": sc})
+              .to_pandas().groupby("o_orderkey", sort=False)
+              .agg(rev_sc=("rev_sc", "sum"), n=("rev_sc", "size")).reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    li = li.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
-    joined = hash_join(orders, li, on="o_orderkey", n_buckets=8)
-    # rev = price*(1-disc) is exact at 4 decimals (2+2); the float product
-    # is within 1e-7 of the decimal product, so rint at scale 1e4 recovers
-    # the exact decimal value before the exact-int sum
-    out = groupby_agg(joined, ["o_orderpriority"],
-                      {"revenue": ("sum", "rev", 4), "n_items": ("count", "rev")})
-    return _round_floats(out.to_pandas().sort_values("o_orderpriority").reset_index(drop=True))
+    li = li.map_batches(revenue_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    joined = hash_join(orders, li, on="o_orderkey", n_buckets=4)
+
+    def finalize_partial(t: pa.Table) -> pa.Table:
+        df = (t.to_pandas().groupby("o_orderpriority", sort=False)
+              .agg(rev_sc=("rev_sc", "sum"), n_items=("n", "sum")).reset_index())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = joined.map_batches(finalize_partial, batch_format="pyarrow")
+    df = parts.to_pandas().groupby("o_orderpriority", sort=False).sum().reset_index()
+    df["revenue"] = df["rev_sc"] / 1e4
+    df["n_items"] = df["n_items"].astype("int64")
+    df = df[["o_orderpriority", "revenue", "n_items"]]
+    return _round_floats(df.sort_values("o_orderpriority").reset_index(drop=True))
 
 
 def _q_supplier_sort(sf_dir: str):

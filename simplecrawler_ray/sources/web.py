@@ -214,8 +214,19 @@ class ConformanceWeb:
         return out
 
 
+_U64_MASK = (1 << 64) - 1
+
+
 def _splitmix64(x: np.ndarray | int):
-    x = np.uint64(x) if np.isscalar(x) else x.astype(np.uint64)
+    if np.isscalar(x):
+        # pure-int scalar path: the numpy scalar version paid an
+        # np.errstate context manager per call — measured ~20% of the
+        # whole synthetic-web fetch path.  Bit-identical result.
+        z = (int(x) + 0x9E3779B97F4A7C15) & _U64_MASK
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _U64_MASK
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _U64_MASK
+        return np.uint64(z ^ (z >> 31))
+    x = x.astype(np.uint64)
     with np.errstate(over="ignore"):
         x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
         z = x

@@ -134,15 +134,42 @@ class CuckooBackend:
         return False  # table full
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+        """Batch check-and-insert, first occurrence wins.
+
+        Vectorized: presence test, in-batch dedup (np.unique) and
+        empty-slot placement all run as array ops; each placement wave
+        writes one fingerprint per DISTINCT bucket (no intra-wave
+        write conflicts), alternating b1/b2.  Only items whose both
+        buckets are full fall back to the scalar cuckoo-kick loop —
+        rare below ~90% load."""
         fp, b1, b2 = self._fp_and_buckets(hashes)
         present = self.contains(hashes)
         out = np.zeros(len(hashes), dtype=bool)
-        seen_batch: set[int] = set()
-        for i in np.nonzero(~present)[0]:
-            h = int(hashes[i])
-            if h in seen_batch:
-                continue
-            seen_batch.add(h)
+        new_idx = np.nonzero(~present)[0]
+        if not len(new_idx):
+            return out
+        # in-batch duplicate hashes: only the first occurrence inserts
+        _, first_pos = np.unique(hashes[new_idx], return_index=True)
+        pending = new_idx[np.sort(first_pos)]
+        t = self.table
+        for wave_buckets in (b1, b2, b1, b2):
+            if not len(pending):
+                break
+            bk = wave_buckets[pending]
+            # one item per distinct bucket this wave (first in pending
+            # order); the rest retry next wave
+            ub, sel = np.unique(bk, return_index=True)
+            rows_empty = t[ub] == 0
+            has_empty = rows_empty.any(axis=1)
+            slots = rows_empty.argmax(axis=1)
+            win = sel[has_empty]                    # positions in pending
+            t[bk[win], slots[has_empty]] = fp[pending[win]]
+            placed = np.zeros(len(pending), dtype=bool)
+            placed[win] = True
+            out[pending[win]] = True
+            self.count += int(len(win))
+            pending = pending[~placed]
+        for i in pending:  # both buckets full: scalar kick loop
             if self._insert_one(int(fp[i]), int(b1[i]), int(b2[i])):
                 self.count += 1
                 out[i] = True
