@@ -545,6 +545,30 @@ def _q_events_asof(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_events_asof_part(sf_dir: str):
+    """Two-large-sides as-of join (ops.asof_join_partitioned): both
+    sides hash-shuffle by user and each key group merges worker-side —
+    the no-broadcast variant for right sides that don't fit one node.
+    Same DuckDB ASOF JOIN oracle as q_events_asof."""
+    import pyarrow.parquet as pq
+
+    from simplecrawler_ray.ops import asof_join_partitioned
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = (orders.groupby(["o_custkey", "o_orderdate"], as_index=False)["o_orderkey"]
+              .max().rename(columns={"o_custkey": "user_id", "o_orderdate": "ts"}))
+    import ray.data as rd
+
+    right = rd.from_pandas([orders.iloc[i::4].reset_index(drop=True)
+                            for i in range(4)])  # multi-block right side
+    out = asof_join_partitioned(ev, right, key="user_id", ts_col="ts").to_pandas()
+    df = out[["event_id", "o_orderkey"]].copy()
+    df["o_orderkey"] = df["o_orderkey"].fillna(-1).astype("int64")
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_docs_simhash(sf_dir: str):
     from simplecrawler_ray.functions.dedup import SimHasher
 
@@ -646,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_scaleweb": _q_crawl_scaleweb,
         "q_docs_minhash_pairs": _q_docs_minhash_pairs,
         "q_events_asof": _q_events_asof,
+        "q_events_asof_part": _q_events_asof_part,
         "q_embed_knn_multi": _q_embed_knn_multi,
         "q_docs_packing": _q_docs_packing,
         "q_docs_split": _q_docs_split,
@@ -816,6 +841,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, cos DESC, vec_id
         """,
         "q_events_asof": """
+            WITH o AS (
+                SELECT o_custkey AS user_id, o_orderdate AS ots,
+                       MAX(o_orderkey) AS o_orderkey
+                FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, COALESCE(o.o_orderkey, -1) AS o_orderkey
+            FROM events e
+            ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ots
+            ORDER BY e.event_id
+        """,
+        "q_events_asof_part": """
             WITH o AS (
                 SELECT o_custkey AS user_id, o_orderdate AS ots,
                        MAX(o_orderkey) AS o_orderkey

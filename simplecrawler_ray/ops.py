@@ -245,6 +245,20 @@ def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
                           zero_copy_batch=True))
 
     rcols_out = [rmap[c] for c in rvals]
+    # left-origin int columns widen to float64 in the pandas round-trip
+    # (right-side rows carry nulls there); left rows have no nulls, so
+    # cast back after the split
+    def _is_int(t) -> bool:
+        # ds.schema() yields pyarrow types for Arrow blocks but numpy
+        # dtypes for pandas blocks — accept either
+        try:
+            if isinstance(t, pa.DataType):
+                return pa.types.is_integer(t)
+            return np.issubdtype(t, np.integer)
+        except Exception:
+            return False
+
+    lint_cols = [c for c in [key, ts_col] + lvals if _is_int(ltypes[c])]
 
     def merge_group(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0]
@@ -253,6 +267,8 @@ def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
                                  for c in out_cols})
         l = l.drop(columns=["__side"] + rcols_out).sort_values(
             ts_col, kind="stable")
+        for c in lint_cols:
+            l[c] = l[c].astype("int64")
         r = group[group["__side"] == 1]
         r = r[[ts_col] + rcols_out].sort_values(ts_col, kind="stable")
         out = pd.merge_asof(l, r, on=ts_col, direction=direction)
