@@ -141,6 +141,7 @@ class Fetcher:
         jar_key = ("jar", _ref_key(web_ref))
         self.jar = _WORKER_CACHE.setdefault(jar_key, CookieJar())
         self.cache = (ray.get(cache_ref) if isinstance(cache_ref, ray.ObjectRef) else cache_ref) or {}
+        self._headers_json_cache: dict = {}
         self.supported_mime = [
             re.compile(p, re.I) if isinstance(p, str) and p.startswith("^") else p
             for p in cfg.get("supported_mime_types") or DEFAULT_SUPPORTED_MIME
@@ -257,10 +258,21 @@ class Fetcher:
             ct = resp.content_type or ""
             content_types[i] = ct
             content_lengths[i] = resp.content_length
-            headers_json[i] = json.dumps(
-                {**{k.lower(): str(v) for k, v in resp.headers.items()},
-                 "content-type": ct, "content-length": str(resp.content_length)}
-            )
+            # headers repeat across a synthetic/real site (same server
+            # config) — cache the serialized JSON per distinct
+            # (headers, ct, length) instead of re-dumping per row
+            hkey = (tuple((k, str(v)) for k, v in resp.headers.items())
+                    if resp.headers else (), ct, resp.content_length)
+            hj = self._headers_json_cache.get(hkey)
+            if hj is None:
+                hj = json.dumps(
+                    {**{k.lower(): str(v) for k, v in resp.headers.items()},
+                     "content-type": ct,
+                     "content-length": str(resp.content_length)})
+                if len(self._headers_json_cache) > 4096:
+                    self._headers_json_cache.clear()
+                self._headers_json_cache[hkey] = hj
+            headers_json[i] = hj
             latency[i] = 1  # synthetic web: nominal 1ms latency
 
             if self.accept_cookies and "Set-Cookie" in resp.headers:
@@ -277,26 +289,28 @@ class Fetcher:
             if 200 <= resp.code < 300:
                 vetoed = False
                 errored = False
-                from ..conditions import eval_condition
+                if self.download_conditions:
+                    from ..conditions import eval_condition
 
-                # two-arg conditions get the response dict as the second
-                # argument — the reference's (queueItem, response) shape
-                # (src/crawler.ts:1180-1211)
-                response_item = {"code": resp.code, "content_type": ct,
-                                 "headers": dict(resp.headers),
-                                 "content_length": resp.content_length}
-                for cond in self.download_conditions:
-                    try:
-                        if not eval_condition(
-                                cond,
-                                {"url": url, "host": hosts[i], "path": paths[i],
-                                 "code": resp.code, "content_type": ct},
-                                response_item):
-                            vetoed = True
+                    # two-arg conditions get the response dict as the
+                    # second argument — the reference's
+                    # (queueItem, response) shape (src/crawler.ts:1180-1211)
+                    response_item = {"code": resp.code, "content_type": ct,
+                                     "headers": dict(resp.headers),
+                                     "content_length": resp.content_length}
+                    for cond in self.download_conditions:
+                        try:
+                            if not eval_condition(
+                                    cond,
+                                    {"url": url, "host": hosts[i],
+                                     "path": paths[i], "code": resp.code,
+                                     "content_type": ct},
+                                    response_item):
+                                vetoed = True
+                                break
+                        except Exception:
+                            errored = True
                             break
-                    except Exception:
-                        errored = True
-                        break
                 if errored:
                     # reference leaves the item dangling (async.every returns
                     # false, no queue update); terminal here so the BSP round
