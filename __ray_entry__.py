@@ -851,6 +851,43 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ots
             ORDER BY e.event_id
         """,
+        "q_docs_langid": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_distinct(regexp_extract_all(
+                           lower(substr(text, 1, 1000)), '[a-zà-ÿ]+')) AS words
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       len(list_intersect(words, ['the','and','of','to','a','in','is','that','it','for'])) AS en,
+                       len(list_intersect(words, ['der','die','das','und','ist','nicht','ein','mit','auf','zu'])) AS de,
+                       len(list_intersect(words, ['le','la','les','et','est','un','une','dans','pour','que'])) AS fr,
+                       len(list_intersect(words, ['el','la','los','y','es','un','una','en','para','que'])) AS es
+                FROM w)
+            SELECT doc_id,
+                   CASE
+                     WHEN en >= 2 AND en >= de AND en >= fr AND en >= es THEN 'en'
+                     WHEN de >= 2 AND de > en AND de >= fr AND de >= es THEN 'de'
+                     WHEN fr >= 2 AND fr > en AND fr > de AND fr >= es THEN 'fr'
+                     WHEN es >= 2 AND es > en AND es > de AND es > fr THEN 'es'
+                     ELSE 'unknown'
+                   END AS lang_pred
+            FROM s ORDER BY doc_id
+        """,
+        "q_docs_split": """
+            WITH tagged AS (
+                SELECT lang,
+                       CASE
+                         WHEN md5_number_lower('0:' || doc_id) % 1000000 < 100000
+                           THEN 'val'
+                         WHEN md5_number_lower('0:' || doc_id) % 1000000 < 150000
+                           THEN 'test'
+                         ELSE 'train'
+                       END AS split
+                FROM documents)
+            SELECT lang, split, COUNT(*) AS n
+            FROM tagged GROUP BY 1, 2 ORDER BY lang, split
+        """,
         "q_events_asof_part": """
             WITH o AS (
                 SELECT o_custkey AS user_id, o_orderdate AS ots,

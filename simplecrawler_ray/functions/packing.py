@@ -19,8 +19,6 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from .dedup import _stable_hash64
-
 
 def pack_sequences(ds: rd.Dataset, max_tokens: int, id_col: str = "doc_id",
                    token_col: str = "n_tokens",
@@ -69,8 +67,13 @@ def pack_sequences(ds: rd.Dataset, max_tokens: int, id_col: str = "doc_id",
 def add_split_column(ds: rd.Dataset, key_col: str = "doc_id",
                      val_frac: float = 0.1, test_frac: float = 0.0,
                      seed: int = 0, out_col: str = "split") -> rd.Dataset:
-    """Tag each row train/val/test by ``blake2b(seed:key) % 10^6`` —
-    stable across runs, shards and orderings."""
+    """Tag each row train/val/test by ``md5_low64(seed:key) % 10^6`` —
+    stable across runs, shards and orderings.  md5-low64 (little-endian
+    int of md5 bytes [8:16]) is used rather than an ad-hoc hash because
+    DuckDB's ``md5_number_lower`` computes the identical value, so the
+    split is SQL-oracle-checkable end to end."""
+    import hashlib
+
     scale = 1_000_000
     val_cut = int(val_frac * scale)
     test_cut = val_cut + int(test_frac * scale)
@@ -78,7 +81,8 @@ def add_split_column(ds: rd.Dataset, key_col: str = "doc_id",
     def tag(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_pylist()
         buckets = np.array(
-            [(_stable_hash64(f"{seed}:{k}") & 0x7FFFFFFFFFFFFFFF) % scale
+            [int.from_bytes(hashlib.md5(f"{seed}:{k}".encode()).digest()[8:],
+                            "little") % scale
              for k in keys])
         split = np.where(buckets < val_cut, "val",
                          np.where(buckets < test_cut, "test", "train"))
