@@ -590,10 +590,14 @@ def _q_docs_langid(sf_dir: str):
 
 
 def _q_docs_fingerprint(sf_dir: str):
-    from simplecrawler_ray.functions.text import fingerprint_batch
+    """md5-low64 content fingerprints — oracle-checked against DuckDB's
+    md5_number_lower.  The FNV-1a lockstep variant (fingerprint_batch)
+    stays pytest-pinned (not SQL-expressible: iterative recurrence)."""
+    from simplecrawler_ray.functions.text import fingerprint_md5_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(fingerprint_md5_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
     df = out.select_columns(["doc_id", "fingerprint"]).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -850,6 +854,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ots
             ORDER BY e.event_id
+        """,
+        "q_docs_fingerprint": """
+            SELECT doc_id,
+                   CAST(md5_number_lower(text) & 9223372036854775807 AS BIGINT)
+                       AS fingerprint
+            FROM documents ORDER BY doc_id
         """,
         "q_docs_langid": """
             WITH w AS (

@@ -109,6 +109,20 @@ def _fnv1a_scalar(buf: bytes) -> int:
     return h
 
 
+def fingerprint_md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document fingerprint via md5-low64 (little-endian int of md5
+    bytes [8:16], masked to non-negative int64) — same stable-content-id
+    contract as the FNV variant, chosen where SQL-oracle parity matters:
+    DuckDB's ``md5_number_lower`` computes the identical value."""
+    import hashlib
+
+    texts = batch.column(text_col).to_pylist()
+    fps = [int.from_bytes(hashlib.md5((t or "").encode("utf-8")).digest()[8:],
+                          "little") & 0x7FFFFFFFFFFFFFFF
+           for t in texts]
+    return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Document fingerprint: 64-bit FNV-1a rolling hash of the text —
     deterministic content id for exact-dup detection.
