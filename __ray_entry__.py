@@ -183,6 +183,23 @@ def _q_docs_token_stats(sf_dir: str):
     return _round_floats(out.to_pandas().sort_values("lang").reset_index(drop=True))
 
 
+def _q_docs_bpe_tokens(sf_dir: str):
+    """BPE-ish regex pre-tokenizer counts (SURVEY token-counting item's
+    sub-word half; whitespace counting is q_docs_token_stats)."""
+    from simplecrawler_ray.functions.text import token_count_bpe_batch
+    from simplecrawler_ray.ops import groupby_agg
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(token_count_bpe_batch, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = groupby_agg(ds, ["lang"],
+                      {"n_docs": ("count", "doc_id"),
+                       "sum_bpe": ("sum", "n_bpe_tokens")})
+    df = out.to_pandas()
+    df["sum_bpe"] = df["sum_bpe"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
 def _q_docs_quality(sf_dir: str):
     from simplecrawler_ray.functions.text import quality_batch
 
@@ -659,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_part_brand_stats": _q_part_brand_stats,
         "q_docs_exact_dedup": _q_docs_exact_dedup,
         "q_docs_token_stats": _q_docs_token_stats,
+        "q_docs_bpe_tokens": _q_docs_bpe_tokens,
         "q_docs_quality": _q_docs_quality,
         "q_embed_knn": _q_embed_knn,
         "q_priority_revenue": _q_priority_revenue,
@@ -854,6 +872,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ots
             ORDER BY e.event_id
+        """,
+        "q_docs_bpe_tokens": """
+            SELECT lang, COUNT(doc_id) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text,
+                       '[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9 \t\n\f\r]+')))
+                        AS BIGINT) AS sum_bpe
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "q_docs_fingerprint": """
             SELECT doc_id,

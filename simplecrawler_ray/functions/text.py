@@ -34,6 +34,23 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pa.array(counts, pa.int64()))
 
 
+# BPE-ish pre-tokenizer: letter runs / digit runs / other-symbol runs
+# (the GPT-2 pattern's shape without \p{} classes, so Python `re` and
+# DuckDB RE2 compile the IDENTICAL pattern — oracle-checkable).  The
+# whitespace class is spelled out because \s means ASCII whitespace in
+# RE2 but Unicode whitespace in Python re.
+_BPE_PATTERN = r"[A-Za-zÀ-ÿ]+|[0-9]+|[^A-Za-zÀ-ÿ0-9 \t\n\f\r]+"
+_BPE_RE = re.compile(_BPE_PATTERN)
+
+
+def token_count_bpe_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Sub-word-style token count via the BPE-ish run regex — matches
+    DuckDB ``len(regexp_extract_all(text, _BPE_PATTERN))`` exactly."""
+    texts = batch.column(text_col).to_pylist()
+    counts = [len(_BPE_RE.findall(t)) if t else 0 for t in texts]
+    return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
+
+
 _UPPER = frozenset("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 _DIGIT = frozenset("0123456789")
 
