@@ -160,14 +160,17 @@ class CandidateProcessor:
                 ref_cache[ref] = base
             cand = cands[i]
             absolute = "://" in cand
-            row = self._row_cache.get(cand, _unset) if absolute else _unset
-            if row is _unset:
+            hit = self._row_cache.get(cand, _unset) if absolute else _unset
+            if hit is _unset:
                 row = process_url(cand, base, rdepths[i], self.canon,
                                   referrer_str=ref)
+                uh = url_hash64(row.url) if row is not None else 0
                 if absolute:
                     if len(self._row_cache) > 500_000:
                         self._row_cache.clear()
-                    self._row_cache[cand] = row
+                    self._row_cache[cand] = (row, uh)
+            else:
+                row, uh = hit
             if row is None:
                 continue  # urijs choke — silently dropped (queueURL:1497-1500)
             # depth/referrer are row-specific (cached rows carry stale ones)
@@ -211,7 +214,7 @@ class CandidateProcessor:
                         reason = "fetchprevented"
                         break
             out["url"].append(row.url)
-            out["url_hash"].append(url_hash64(row.url))
+            out["url_hash"].append(uh)
             out["protocol"].append(row.protocol)
             out["host"].append(row.host)
             out["port"].append(row.port)

@@ -114,11 +114,12 @@ def turbo_round_udf(batch: pa.Table, *, web_ref, cfg_ref, robots_ref,
 
     counters = {"fetchstart": batch.num_rows}
     nonredir = 0
-    for d in fetched.column("disposition").to_pylist():
+    for e in pc.value_counts(fetched.column("disposition")).to_pylist():
+        d, c = e["values"], int(e["counts"])
         if d:
-            counters[d] = counters.get(d, 0) + 1
+            counters[d] = counters.get(d, 0) + c
         if d != "fetchredirect":
-            nonredir += 1
+            nonredir += c
     if nonredir:
         # first-request bookkeeping marker (stripped by the driver)
         counters["__nonredirect"] = nonredir
@@ -163,10 +164,10 @@ def turbo_round_udf(batch: pa.Table, *, web_ref, cfg_ref, robots_ref,
         return _with_meta(FRONTIER_SCHEMA.empty_table(), counters)
 
     cands = proc(raw)
-    reasons = cands.column("reject_reason").to_pylist()
-    for r in reasons:
-        if r:
-            counters[r] = counters.get(r, 0) + 1
+    for e in pc.value_counts(cands.column("reject_reason")).to_pylist():
+        if e["values"]:
+            counters[e["values"]] = (counters.get(e["values"], 0)
+                                     + int(e["counts"]))
     cands = cands.filter(pc.equal(cands.column("reject_reason"), ""))
     if cands.num_rows == 0:
         return _with_meta(FRONTIER_SCHEMA.empty_table(), counters)
