@@ -108,13 +108,13 @@ def bench_crawl() -> dict:
     }
 
 
-def bench_dedup() -> dict:
-    """Dedup-checked URLs/s through the sharded cuckoo seen-set."""
+def bench_dedup(backend: str = "cuckoo") -> dict:
+    """Dedup-checked URLs/s through the sharded seen-set."""
     import numpy as np
 
     from simplecrawler_ray.state.seen import SeenSet
 
-    seen = SeenSet(num_shards=min(16, NUM_CPUS), backend="cuckoo",
+    seen = SeenSet(num_shards=min(16, NUM_CPUS), backend=backend,
                    capacity_per_shard=max(1 << 18, DEDUP_URLS // 8))
     rng = np.random.default_rng(42)
     # ~30% duplicates, like a crawl frontier
@@ -165,6 +165,8 @@ def run_once() -> dict:
         "crawl_rounds": crawl["rounds"],
         "dedup_checked_per_sec": round(dedup["checked_per_sec"], 1),
         "dedup_urls_checked": dedup["urls_checked"],
+        "dedup_exact_checked_per_sec": round(
+            bench_dedup("exact")["checked_per_sec"], 1),
     }
     import ray
 
