@@ -449,6 +449,28 @@ def _q_image_decode_stats(sf_dir: str):
     out = out[["image_id", "img_w", "img_h", "phash", "phash_decoded", "decode_error"]]
     return out.sort_values("image_id").reset_index(drop=True)
 
+def _q_image_phash_dups(sf_dir: str):
+    """Image near-dup pairs over the corpus phash column (SURVEY §2.7
+    groupby(phash_bucket)): rotated-prefix pigeonhole buckets + exact
+    popcount verify — rows-only (no images in the sf tables; the
+    operator's pair set is pinned against a brute-force all-pairs
+    popcount in the pytest)."""
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.dedup import phash_near_dup_pairs
+    from simplecrawler_ray.sources.web import ScaleWeb
+
+    sw = ScaleWeb(n_pages=200, n_hosts=8, image_side=24)
+    rows = [sw.corpus_row(i) for i in range(200)]
+    t = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+    })
+    ds = rd.from_arrow([t.slice(o, 50) for o in range(0, 200, 50)])
+    out = phash_near_dup_pairs(ds, max_hamming=16, id_col="image_id").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def _q_crawl_conformance(sf_dir: str):
     from simplecrawler_ray.pipelines.crawl import CrawlEngine
     from simplecrawler_ray.sources.web import ConformanceWeb
@@ -688,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fidelity": _q_crawl_fidelity,
         "crawl_queue_stats": _q_crawl_queue_stats,
         "q_image_decode_stats": _q_image_decode_stats,
+        "q_image_phash_dups": _q_image_phash_dups,
         "crawl_conformance": _q_crawl_conformance,
         "crawl_scaleweb": _q_crawl_scaleweb,
         "q_docs_minhash_pairs": _q_docs_minhash_pairs,

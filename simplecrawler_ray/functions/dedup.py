@@ -342,19 +342,40 @@ class SimHasher:
 
 def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
                            id_col: str = "doc_id", seed: int = 42) -> pa.Table:
-    """SimHash near-dup pairs via the rotated-prefix (pigeonhole) trick:
-    a 64-bit simhash is split into ``max_hamming + 1`` chunks — any two
-    hashes within ``max_hamming`` bits must agree on at least one chunk
-    — so candidates come from ``groupby (chunk_index, chunk_value)``
-    buckets (thin rows: id, simhash, chunk), verified exactly by
-    popcount in-bucket.  Same shuffle shape as banded minhash-LSH.
+    """SimHash near-dup pairs — see ``hash_near_dup_pairs`` (the
+    generic 64-bit-hamming pairing; phash image near-dup uses the same
+    operator with ``hash_col="phash"``)."""
+    return hash_near_dup_pairs(ds, hash_col="simhash",
+                               max_hamming=max_hamming, id_col=id_col)
+
+
+def phash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 6,
+                         id_col: str = "doc_id") -> pa.Table:
+    """Image near-dup pairs over a perceptual-hash column (SURVEY §2.7:
+    `groupby(phash_bucket)`): same rotated-prefix pigeonhole buckets +
+    exact popcount verify as SimHash, over the corpus ``phash`` int64
+    column."""
+    return hash_near_dup_pairs(ds, hash_col="phash",
+                               max_hamming=max_hamming, id_col=id_col)
+
+
+def hash_near_dup_pairs(ds: rd.Dataset, hash_col: str, max_hamming: int = 3,
+                        id_col: str = "doc_id") -> pa.Table:
+    """Near-dup pairs over any 64-bit hash column via the
+    rotated-prefix (pigeonhole) trick: the hash is split into
+    ``max_hamming + 1`` chunks — any two hashes within ``max_hamming``
+    bits must agree on at least one chunk — so candidates come from
+    ``groupby (chunk_index, chunk_value)`` buckets (thin rows: id,
+    hash, chunk), verified exactly by popcount in-bucket.  Same shuffle
+    shape as banded minhash-LSH.
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
 
     def to_chunks(batch: pa.Table) -> pa.Table:
-        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = batch.column(hash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        # ids keep their native dtype (int doc ids or string image ids)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         n = len(sh)
         mask = np.uint64((1 << chunk_bits) - 1)
         cv = np.concatenate([
@@ -363,7 +384,7 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
         ])
         return pa.table({
             id_col: pa.array(np.tile(ids, n_chunks)),
-            "simhash": pa.array(np.tile(sh.astype(np.int64), n_chunks)),
+            "__h64": pa.array(np.tile(sh.astype(np.int64), n_chunks)),
             "chunk_i": pa.array(np.repeat(np.arange(n_chunks, dtype=np.int32), n)),
             "chunk_v": pa.array(cv),
         })
@@ -371,11 +392,11 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
     def in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
         if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
+            return pd.DataFrame({"id_a": pd.Series([], dtype=group[id_col].dtype),
+                                 "id_b": pd.Series([], dtype=group[id_col].dtype),
                                  "hamming": pd.Series([], dtype="int64")})
         ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
+        sh = g["__h64"].to_numpy().astype(np.uint64)
         ia, ib = np.triu_indices(len(ids), k=1)
         x = sh[ia] ^ sh[ib]
         # vectorized popcount via byte-view unpackbits
@@ -391,8 +412,15 @@ def simhash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 3,
              .groupby(["chunk_i", "chunk_v"])
              .map_groups(in_bucket, batch_format="pandas"))
     tables = gather_tables(pairs)
-    empty = pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64()),
+    try:
+        sch = ds.schema()
+        id_type = dict(zip(sch.names, sch.types)).get(id_col, pa.int64())
+        if not isinstance(id_type, pa.DataType):
+            id_type = pa.from_numpy_dtype(id_type)
+    except Exception:
+        id_type = pa.int64()
+    empty = pa.table({"id_a": pa.array([], id_type),
+                      "id_b": pa.array([], id_type),
                       "hamming": pa.array([], pa.int64())})
     if not tables:
         return empty

@@ -465,3 +465,32 @@ def test_fingerprint_chunked_matches_scalar():
     finally:
         text_mod._FP_CHUNK_ELEMS = old
     assert got2 == exp
+
+
+def test_phash_near_dup_pairs_matches_bruteforce():
+    """Image near-dup over the corpus phash column (string ids): the
+    pigeonhole-bucketed operator must return EXACTLY the all-pairs
+    popcount reference (the chunk trick guarantees recall 1 within
+    max_hamming)."""
+    from simplecrawler_ray.functions.dedup import phash_near_dup_pairs
+    from simplecrawler_ray.sources.web import ScaleWeb
+
+    sw = ScaleWeb(n_pages=120, n_hosts=4, image_side=24)
+    rows = [sw.corpus_row(i) for i in range(120)]
+    ids = [r["image_id"] for r in rows]
+    ph = np.array([r["phash"] for r in rows], dtype=np.int64).astype(np.uint64)
+    t = pa.table({"image_id": pa.array(ids, pa.string()),
+                  "phash": pa.array([r["phash"] for r in rows], pa.int64())})
+    ds = rd.from_arrow([t.slice(o, 30) for o in range(0, 120, 30)])
+    K = 16  # min pairwise distance in this corpus is 16 -> non-vacuous
+    got = phash_near_dup_pairs(ds, max_hamming=K, id_col="image_id").to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    ia, ib = np.triu_indices(len(ids), k=1)
+    x = ph[ia] ^ ph[ib]
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+    exp_pairs = {tuple(sorted((ids[a], ids[b])))
+                 for a, b, h in zip(ia, ib, ham) if h <= K}
+    assert exp_pairs, "corpus should contain near-dup phash pairs"
+    assert got_pairs == exp_pairs
+    assert (got["hamming"] <= K).all()
