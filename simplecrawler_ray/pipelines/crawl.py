@@ -364,6 +364,9 @@ DEFAULT_CONFIG = dict(
     fetch_threads=0,        # >1: threaded batch I/O for real transports
                             # (HttpWeb); latency-bound WAN fetches need it
     checkpoint_dir=None,
+    checkpoint_seen=False,  # snapshot seen-shard filters per checkpoint
+                            # (one .npz per shard) -> resume is O(filter
+                            # bytes), not O(crawled URLs) hash replay
     phash_fetched=False,
     user_agent="simplecrawler-ray/1.0",
     decompress_responses=True,
@@ -1261,17 +1264,24 @@ class CrawlEngine:
         return t
 
     def _checkpoint_state(self) -> None:
-        """Turbo-mode checkpoint: queued frontier + counters only (the
-        fetched rows are already durably in the sink's round=N parts)."""
+        """Turbo-mode checkpoint: queued frontier + counters (the
+        fetched rows are already durably in the sink's round=N parts).
+        With ``checkpoint_seen``, each seen shard also snapshots its
+        filter (one .npz per shard, written by the shard actor) so
+        resume is O(filter bytes) instead of replaying every crawled
+        url_hash from the sink."""
         ckpt = self.cfg["checkpoint_dir"]
         rdir = os.path.join(ckpt, f"state-round={self.round_no:05d}")
         tmp = rdir + ".tmp"
         os.makedirs(tmp, exist_ok=True)
         self._write_queued_state(tmp)
+        if self.cfg["checkpoint_seen"]:
+            self.seen.snapshot(os.path.join(tmp, "seen"))
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
             json.dump({"round": self.round_no, "next_seq": self.next_seq,
                        "first_request": self.first_request,
                        "metrics": self.metrics,
+                       "seen_shards": self.cfg["seen_shards"],
                        "host": self.cfg["host"]}, f)
         os.replace(tmp, rdir)
 
@@ -1295,12 +1305,19 @@ class CrawlEngine:
         eng.metrics = meta["metrics"]
         eng.cfg["host"] = meta["host"]
         qt = eng._load_queued_ckpt(last)
-        hashes = [qt.column("url_hash").to_numpy(zero_copy_only=False)]
-        for part in glob.glob(os.path.join(sink_dir, "round=*", "*.parquet")):
-            hashes.append(
-                pq.read_table(part, columns=["url_hash"])
-                .column("url_hash").to_numpy(zero_copy_only=False))
-        eng.seen.add(np.concatenate(hashes).astype(np.uint64))
+        seen_dir = os.path.join(last, "seen")
+        if os.path.isdir(seen_dir) \
+                and meta.get("seen_shards") == eng.cfg["seen_shards"]:
+            # snapshot fast path: reload each shard's filter file —
+            # O(filter bytes), not O(crawled URLs)
+            eng.seen.restore(seen_dir)
+        else:
+            hashes = [qt.column("url_hash").to_numpy(zero_copy_only=False)]
+            for part in glob.glob(os.path.join(sink_dir, "round=*", "*.parquet")):
+                hashes.append(
+                    pq.read_table(part, columns=["url_hash"])
+                    .column("url_hash").to_numpy(zero_copy_only=False))
+            eng.seen.add(np.concatenate(hashes).astype(np.uint64))
         return eng
 
     def _checkpoint(self, fetched_refs: list) -> None:
@@ -1317,10 +1334,13 @@ class CrawlEngine:
             for i, r in enumerate(fetched_refs)
         ])
         self._write_queued_state(tmp)
+        if self.cfg["checkpoint_seen"]:
+            self.seen.snapshot(os.path.join(tmp, "seen"))
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
             json.dump({"round": self.round_no, "next_seq": self.next_seq,
                        "first_request": self.first_request,
                        "metrics": self.metrics,
+                       "seen_shards": self.cfg["seen_shards"],
                        "host": self.cfg["host"]}, f)
         os.replace(tmp, rdir)  # atomic publish: resumable (ray_guide layout)
 
@@ -1340,18 +1360,28 @@ class CrawlEngine:
         eng.metrics = meta["metrics"]
         eng.cfg["host"] = meta["host"]
         qt = eng._load_queued_ckpt(last)
-        # replay seen from every checkpointed round (fetched + queued)
+        # replay seen from every checkpointed round (fetched + queued);
+        # a seen snapshot (checkpoint_seen) short-circuits the hash
+        # replay — blocks are still re-pinned for queue-state queries
         import glob as _glob
 
+        seen_dir = os.path.join(last, "seen")
+        have_snapshot = (os.path.isdir(seen_dir)
+                         and meta.get("seen_shards") == eng.cfg["seen_shards"])
         hashes = [qt.column("url_hash").to_numpy(zero_copy_only=False)]
         for rdir in rounds:
             parts = sorted(
                 _glob.glob(os.path.join(checkpoint_dir, rdir, "fetched*.parquet")))
             for part in parts:
-                t = pq.read_table(part, columns=["url_hash"])
-                hashes.append(t.column("url_hash").to_numpy(zero_copy_only=False))
+                if not have_snapshot:
+                    t = pq.read_table(part, columns=["url_hash"])
+                    hashes.append(
+                        t.column("url_hash").to_numpy(zero_copy_only=False))
                 eng.terminal_refs.append(ray.put(pq.read_table(part)))
-        eng.seen.add(np.concatenate(hashes).astype(np.uint64))
+        if have_snapshot:
+            eng.seen.restore(seen_dir)
+        else:
+            eng.seen.add(np.concatenate(hashes).astype(np.uint64))
         return eng
 
 

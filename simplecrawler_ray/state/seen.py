@@ -25,6 +25,8 @@ numpy except cuckoo-insert eviction loops (rare at <90% load).
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import ray
 
@@ -43,6 +45,14 @@ def _mix(h: np.ndarray, salt: int) -> np.ndarray:
 class ExactBackend:
     def __init__(self, capacity: int = 0):
         self._set: set[int] = set()
+
+    def state(self) -> dict:
+        return {"kind": "exact",
+                "keys": np.fromiter(self._set, dtype=np.uint64,
+                                    count=len(self._set))}
+
+    def load_state(self, st: dict) -> None:
+        self._set = set(st["keys"].tolist())
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """Batch check-and-insert, first occurrence wins.
@@ -178,6 +188,15 @@ class CuckooBackend:
     def add(self, hashes: np.ndarray) -> None:
         self.check_and_add(hashes)
 
+    def state(self) -> dict:
+        return {"kind": "cuckoo", "table": self.table, "count": self.count}
+
+    def load_state(self, st: dict) -> None:
+        self.table = st["table"]
+        self.nbuckets = self.table.shape[0]
+        self.mask = _U64(self.nbuckets - 1)
+        self.count = int(st["count"])
+
     def __len__(self):
         return self.count
 
@@ -227,6 +246,16 @@ class BloomBackend:
     def add(self, hashes: np.ndarray) -> None:
         self.check_and_add(hashes)
 
+    def state(self) -> dict:
+        return {"kind": "bloom", "bits": self.bits, "count": self.count,
+                "k": self.k}
+
+    def load_state(self, st: dict) -> None:
+        self.bits = st["bits"]
+        self.nbits_mask = _U64(len(self.bits) * 8 - 1)
+        self.k = int(st["k"])
+        self.count = int(st["count"])
+
     def __len__(self):
         return self.count
 
@@ -259,6 +288,29 @@ class SeenShard:
 
     def memory_bytes(self) -> int:
         return self.backend.memory_bytes()
+
+    def snapshot(self, path: str) -> int:
+        """Write this shard's filter state to one ``.npz`` file
+        (worker-side — the state never transits the driver).  The
+        cuckoo table / bloom bits are single numpy arrays, so a shard
+        snapshot is one array write (SCALING.md failure-handling
+        plan)."""
+        st = self.backend.state()
+        arrays = {k: v for k, v in st.items() if isinstance(v, np.ndarray)}
+        scalars = {k: v for k, v in st.items()
+                   if not isinstance(v, np.ndarray)}
+        np.savez(path, __meta=np.frombuffer(
+            json.dumps(scalars).encode(), dtype=np.uint8), **arrays)
+        return len(self.backend)
+
+    def restore(self, path: str) -> int:
+        with np.load(path) as z:
+            st = dict(json.loads(bytes(z["__meta"]).decode()))
+            for k in z.files:
+                if k != "__meta":
+                    st[k] = z[k]
+        self.backend.load_state(st)
+        return len(self.backend)
 
 
 class SeenSet:
@@ -325,6 +377,35 @@ class SeenSet:
             for s in range(self.num_shards)
             if (shard_of == s).any()
         ])
+
+    def snapshot(self, dir_path: str) -> int:
+        """Checkpoint every shard's filter to ``dir_path/shard-<i>.npz``
+        in parallel (one file per shard, written by the shard actor).
+        Resume with ``restore`` — O(filter bytes), not O(crawled URLs)
+        like the url_hash replay path."""
+        import os
+
+        os.makedirs(dir_path, exist_ok=True)
+        return sum(ray.get([
+            s.snapshot.remote(os.path.join(dir_path, f"shard-{i:04d}.npz"))
+            for i, s in enumerate(self.shards)
+        ]))
+
+    def restore(self, dir_path: str) -> int:
+        """Reload a ``snapshot`` directory (shard count must match)."""
+        import os
+
+        files = sorted(f for f in os.listdir(dir_path)
+                       if f.startswith("shard-") and f.endswith(".npz"))
+        if len(files) != self.num_shards:
+            raise ValueError(
+                f"snapshot has {len(files)} shards, pool has "
+                f"{self.num_shards} — shard count must match (hash "
+                "routing is shard-count-dependent)")
+        return sum(ray.get([
+            s.restore.remote(os.path.join(dir_path, f))
+            for s, f in zip(self.shards, files)
+        ]))
 
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
