@@ -37,6 +37,9 @@ def main() -> int:
     ap.add_argument("--sink", required=True)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--checkpoint-seen", action="store_true",
+                    help="snapshot seen-shard filters per checkpoint; "
+                         "resume reloads them in O(filter bytes)")
     ap.add_argument("--frontier-backend", default="dataset",
                     choices=["driver", "dataset"])
     ap.add_argument("--host-budget", type=int, default=0)
@@ -85,6 +88,7 @@ def main() -> int:
         timeout=args.timeout_ms,
         user_agent=args.user_agent,
         checkpoint_dir=args.checkpoint,
+        checkpoint_seen=args.checkpoint_seen,
         **extra,
     )
     if args.resume and args.checkpoint:
