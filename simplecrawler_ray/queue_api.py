@@ -45,6 +45,25 @@ class InvalidStatistic(ValueError):
     pass
 
 
+@ray.remote(num_returns=2)
+def _update_block_at(block, local_idx: int, flat: dict):
+    """Worker-side positional update of one queue block: returns
+    (updated_block, updated_row_dict) — the block stays in the object
+    store, the driver swaps the ref."""
+    import pandas as pd
+
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    t = block
+    for col, val in flat.items():
+        vals = t.column(col).to_pylist()
+        vals[local_idx] = val
+        t = t.set_column(t.schema.get_field_index(col), col,
+                         pa.array(vals, t.schema.field(col).type))
+    row = {c: t.column(c)[local_idx].as_py() for c in t.column_names}
+    return t, row
+
+
 def _flatten_comparator(comparator: dict) -> dict[str, Any]:
     """{stateData: {code: 200}, fetched: True} -> {state_code: 200, ...}"""
     flat: dict[str, Any] = {}
@@ -160,14 +179,13 @@ class FrontierQueue:
         (src/queue.ts:157-174): nested ``stateData`` keys map onto the
         flattened ``state_*`` columns; unknown fields raise (the
         reference rejects them with an error callback).  Returns the
-        updated row.  Driver-table backend only — the engine's own
-        round pipeline never mutates rows (J3 lineage columns); this is
-        the user-facing API for ported queue-manipulating code."""
+        updated row.  The engine's own round pipeline never mutates
+        rows (J3 lineage columns); this is the user-facing API for
+        ported queue-manipulating code.  On a Dataset-backed queue the
+        block holding the row is rewritten worker-side and its ref
+        swapped — rows never gather to the driver."""
         if not self._is_table:
-            raise NotImplementedError(
-                "update() needs the driver-table queue backend; gather the "
-                "frontier (freeze/defrost) to patch rows, or use the "
-                "engine's candidate/lineage pipeline")
+            return self._update_dataset(index, updates)
         t = self._table()
         if index >= t.num_rows:
             raise IndexError("Index was greater than the queue's length")
@@ -181,6 +199,35 @@ class FrontierQueue:
                              pa.array(vals, t.schema.field(col).type))
         self._data = t
         return self.get(index)
+
+    def _update_dataset(self, index: int, updates: dict) -> dict:
+        import ray.data as rd
+
+        flat = _flatten_comparator(updates)
+        sch = self._data.schema()
+        for col in flat:
+            if col not in sch.names:
+                raise KeyError(f"unknown column {col!r}")
+        mat = self._data.materialize()
+        blocks = [(ref, meta.num_rows or 0)
+                  for b in mat.iter_internal_ref_bundles()
+                  for ref, meta in b.blocks]
+        off = 0
+        target, local = None, None
+        for i, (ref, n) in enumerate(blocks):
+            if off <= index < off + n:
+                target, local = i, index - off
+                break
+            off += n
+        if target is None:
+            raise IndexError("Index was greater than the queue's length")
+        new_ref, row_ref = _update_block_at.remote(blocks[target][0], local,
+                                                   flat)
+        refs = [r for r, _ in blocks]
+        refs[target] = new_ref
+        row = ray.get(row_ref)
+        self._data = rd.from_arrow_refs(refs)
+        return row
 
     def get_length(self) -> int:
         return self._data.num_rows if self._is_table else self._data.count()

@@ -186,3 +186,28 @@ def test_deep_assign_helper():
     t = {"a": 1, "s": {"x": 1, "y": 2}}
     deep_assign(t, {"s": {"y": 9, "z": 3}, "b": 4})
     assert t == {"a": 1, "s": {"x": 1, "y": 9, "z": 3}, "b": 4}
+
+
+def test_update_on_dataset_backed_queue():
+    """FetchQueue.update parity on a Dataset-backed queue: the holding
+    block is rewritten worker-side; other rows and the row count stay
+    intact (src/queue.ts:157-174)."""
+    import ray.data as rd
+
+    from simplecrawler_ray.queue_api import FrontierQueue
+
+    t = fixture_table()
+    # multi-block dataset
+    ds = rd.from_arrow([t.slice(0, 2), t.slice(2)])
+    q = FrontierQueue(ds)
+    n = q.get_length()
+    row = q.update(2, {"stateData": {"code": 777}, "fetched": True})
+    assert row["state_code"] == 777 and row["fetched"] is True
+    assert q.get_length() == n
+    assert q.get(2)["state_code"] == 777
+    assert q.get(1)["state_code"] != 777
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        q.update(n + 5, {"fetched": True})
+    with _pytest.raises(KeyError):
+        q.update(0, {"nonsense_field": 1})
