@@ -360,14 +360,21 @@ def phash_near_dup_pairs(ds: rd.Dataset, max_hamming: int = 6,
 
 
 def hash_near_dup_pairs(ds: rd.Dataset, hash_col: str, max_hamming: int = 3,
-                        id_col: str = "doc_id") -> pa.Table:
+                        id_col: str = "doc_id",
+                        n_buckets: int = 64) -> pa.Table:
     """Near-dup pairs over any 64-bit hash column via the
     rotated-prefix (pigeonhole) trick: the hash is split into
     ``max_hamming + 1`` chunks — any two hashes within ``max_hamming``
-    bits must agree on at least one chunk — so candidates come from
-    ``groupby (chunk_index, chunk_value)`` buckets (thin rows: id,
-    hash, chunk), verified exactly by popcount in-bucket.  Same shuffle
-    shape as banded minhash-LSH.
+    bits must agree on at least one chunk — so candidates pair up
+    within ``(chunk_index, chunk_value)`` groups, verified exactly by
+    popcount.  Same shuffle shape as banded minhash-LSH.
+
+    Chunk groups are shuffled into ``n_buckets`` hash buckets (one
+    pandas group per bucket, not per chunk value — group-per-key cost
+    the round-2 version ~4x); inside a bucket, rows sort by chunk key
+    and intra-run pairs are enumerated by the vectorized
+    stride-d equality scan (sorted runs: keys[i]==keys[i+d] implies the
+    whole run matches).
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
@@ -382,22 +389,42 @@ def hash_near_dup_pairs(ds: rd.Dataset, hash_col: str, max_hamming: int = 3,
             ((sh >> np.uint64(c * chunk_bits)) & mask).astype(np.int64)
             for c in range(n_chunks)
         ])
+        # one combined chunk key: (chunk_i << chunk_bits) | chunk_v
+        ck = (np.repeat(np.arange(n_chunks, dtype=np.int64), n)
+              << np.int64(chunk_bits)) | cv
         return pa.table({
             id_col: pa.array(np.tile(ids, n_chunks)),
             "__h64": pa.array(np.tile(sh.astype(np.int64), n_chunks)),
-            "chunk_i": pa.array(np.repeat(np.arange(n_chunks, dtype=np.int32), n)),
-            "chunk_v": pa.array(cv),
+            "__ck": pa.array(ck),
+            "__bucket": pa.array((ck * np.int64(0x9E3779B1)) % n_buckets),
         })
 
     def in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        id_dtype = group[id_col].dtype
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                              "id_b": pd.Series([], dtype=id_dtype),
+                              "hamming": pd.Series([], dtype="int64")})
+        g = group.drop_duplicates(subset=["__ck", id_col]).sort_values(
+            ["__ck", id_col], kind="stable")
         if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=group[id_col].dtype),
-                                 "id_b": pd.Series([], dtype=group[id_col].dtype),
-                                 "hamming": pd.Series([], dtype="int64")})
+            return empty
+        keys = g["__ck"].to_numpy()
         ids = g[id_col].to_numpy()
         sh = g["__h64"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
+        ia_parts, ib_parts = [], []
+        d = 1
+        while d < len(keys):
+            same = keys[:-d] == keys[d:]
+            hits = np.nonzero(same)[0]
+            if not len(hits):
+                break
+            ia_parts.append(hits)
+            ib_parts.append(hits + d)
+            d += 1
+        if not ia_parts:
+            return empty
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
         x = sh[ia] ^ sh[ib]
         # vectorized popcount via byte-view unpackbits
         ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
@@ -409,7 +436,7 @@ def hash_near_dup_pairs(ds: rd.Dataset, hash_col: str, max_hamming: int = 3,
     from ..ops import gather_tables
 
     pairs = (ds.map_batches(to_chunks, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby(["chunk_i", "chunk_v"])
+             .groupby("__bucket")
              .map_groups(in_bucket, batch_format="pandas"))
     tables = gather_tables(pairs)
     try:
