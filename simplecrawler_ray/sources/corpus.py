@@ -32,8 +32,14 @@ from .web import ScaleWeb, WebResponse, _resp, url_hash64
 
 
 def build_corpus(web: ScaleWeb, out_dir: str, n_buckets: int = 16,
-                 rows_per_block: int = 1000) -> str:
-    """Materialize the ScaleWeb corpus as bucketed parquet (distributed)."""
+                 rows_per_block: int = 1000,
+                 file_format: str = "parquet") -> str:
+    """Materialize the ScaleWeb corpus as a bucketed table (distributed).
+
+    ``file_format="lance"`` writes a Lance dataset via
+    ``Dataset.write_lance`` when the ``lance`` package is available
+    (import-gated: this container ships without it, so parquet is the
+    default container for the same schema)."""
     import ray.data as rd
 
     web_copy = web  # small parametric object; serialized into tasks
@@ -58,7 +64,17 @@ def build_corpus(web: ScaleWeb, out_dir: str, n_buckets: int = 16,
 
     ds = rd.range(web.n_pages, override_num_blocks=max(1, web.n_pages // rows_per_block))
     ds = ds.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
-    ds.write_parquet(out_dir, partition_cols=["bucket"])
+    if file_format == "lance":
+        try:
+            import lance  # noqa: F401  (import-gated: not in this container)
+        except ImportError as e:
+            raise ImportError(
+                "file_format='lance' needs the `lance` package; this "
+                "container ships without it — use the default parquet "
+                "container (identical schema/bucketing)") from e
+        ds.write_lance(out_dir)
+    else:
+        ds.write_parquet(out_dir, partition_cols=["bucket"])
     return out_dir
 
 
