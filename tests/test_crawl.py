@@ -863,3 +863,26 @@ def test_conformance_resume_from_seen_snapshot(web, tmp_path):
     assert len(urls) == len(set(urls))  # fetched exactly once overall
     assert "http://127.0.0.1:3000/" in urls
     eng2.seen.shutdown()
+
+
+def test_dataset_frontier_fetch_order_matches_driver_multi_host():
+    """ADVICE round-2: with budget=0/cap=0 the dataset backend's waves
+    must be seq-FIFO like the driver backend — compared WITHOUT
+    sorting, across multiple hosts, including candidate seq stamping."""
+    def crawl(backend):
+        sw = ScaleWeb(n_pages=30, n_hosts=5, out_degree=2)
+        eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False,
+                          seen_shards=2, store_body=False,
+                          frontier_backend=backend)
+        res = eng.run(max_rounds=40)
+        t = res.fetched_table()
+        order = list(eng.fetch_order)
+        seqs = dict(zip(t.column("url").to_pylist(),
+                        t.column("seq").to_pylist()))
+        eng.seen.shutdown()
+        return order, seqs
+
+    order_d, seqs_d = crawl("driver")
+    order_ds, seqs_ds = crawl("dataset")
+    assert order_d == order_ds          # exact FIFO order, unsorted
+    assert seqs_d == seqs_ds            # identical seq stamping
