@@ -494,3 +494,33 @@ def test_phash_near_dup_pairs_matches_bruteforce():
     assert exp_pairs, "corpus should contain near-dup phash pairs"
     assert got_pairs == exp_pairs
     assert (got["hamming"] <= K).all()
+
+
+def test_hash_near_dup_pairs_random_bruteforce_trials():
+    """Randomized check of the generic pairing operator: for random
+    64-bit hashes (with planted near-dups) the result must equal the
+    all-pairs popcount reference for several (n, K) shapes."""
+    from simplecrawler_ray.functions.dedup import hash_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    for n, K in [(300, 3), (200, 6), (150, 10)]:
+        base = rng.integers(1, 2**63, n, dtype=np.uint64)
+        # plant near-dups: flip <=K random bits of some rows
+        for i in range(0, n, 7):
+            j = (i + 3) % n
+            flips = rng.integers(0, 64, rng.integers(0, K + 1))
+            v = base[i]
+            for b in flips:
+                v ^= np.uint64(1) << np.uint64(b)
+            base[j] = v
+        ids = np.arange(n, dtype=np.int64)
+        t = pa.table({"doc_id": pa.array(ids), "h": pa.array(base.astype(np.int64))})
+        ds = rd.from_arrow([t.slice(o, 64) for o in range(0, n, 64)])
+        got = hash_near_dup_pairs(ds, hash_col="h", max_hamming=K).to_pandas()
+        got_pairs = set(zip(got["id_a"], got["id_b"]))
+        ia, ib = np.triu_indices(n, k=1)
+        x = base[ia] ^ base[ib]
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        exp = {(int(ids[a]), int(ids[b]))
+               for a, b, h in zip(ia, ib, ham) if h <= K}
+        assert got_pairs == exp, (n, K, len(got_pairs), len(exp))
