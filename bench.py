@@ -9,10 +9,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
 
---scaling: runs the headline pipeline in two fresh processes at
-RAY_GRAFT_CPUS=8 and =32 on the same input and reports throughput at
-both plus scaling efficiency (north-rule N vs 4N evidence; a real
-multi-node cluster is not available in this sandbox).
+--scaling: runs the headline pipeline in fresh processes at
+RAY_GRAFT_CPUS=4 and =16 (N vs 4N; overridable via BENCH_SCALING_LO/HI)
+on the same input, best-of-3 per level, and reports throughput at both
+plus scaling efficiency (north-rule evidence; a real multi-node
+cluster is not available in this sandbox — see the level-choice note
+in run_scaling and BASELINE.md).
 """
 
 from __future__ import annotations
