@@ -127,11 +127,12 @@ def bench_dedup(backend: str = "cuckoo") -> dict:
     dups = rng.choice(uniq, DEDUP_URLS - len(uniq))
     hashes = np.concatenate([uniq, dups])
     rng.shuffle(hashes)
-    batch = 524288
+    # worker-side scatter (round-3 verdict #2): chunk tasks fan the
+    # shard RPCs out concurrently instead of funneling them through
+    # the driver — this measures the shard path, like a real crawl
+    # where many fetch tasks dedup-check simultaneously
     t0 = time.time()
-    new_total = 0
-    for off in range(0, len(hashes), batch):
-        new_total += int(seen.check_and_add(hashes[off: off + batch]).sum())
+    new_total = int(seen.check_and_add_distributed(hashes).sum())
     dt = time.time() - t0
     seen.shutdown()
     return {"sec": dt, "urls_checked": len(hashes),

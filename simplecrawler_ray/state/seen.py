@@ -266,6 +266,28 @@ class BloomBackend:
 BACKENDS = {"exact": ExactBackend, "cuckoo": CuckooBackend, "bloom": BloomBackend}
 
 
+@ray.remote
+def _scatter_check_and_add(hashes: np.ndarray, shards: list) -> np.ndarray:
+    """Worker-side scatter of one hash chunk to the seen shards (the
+    turbo-round dedup shape, stages/turbo.py:175-193).  Many of these
+    tasks run concurrently, so the driver is not the RPC funnel the
+    driver-side ``SeenSet.check_and_add`` scatter is (round-3 verdict
+    #2: the driver-mediated path measured 1.34 M/s against a backend
+    capable of 1.7 M/s *per shard*)."""
+    n = len(shards)
+    shard_of = (hashes % _U64(n)).astype(np.int64)
+    out = np.zeros(len(hashes), dtype=bool)
+    refs, idxs = [], []
+    for s in range(n):
+        idx = np.nonzero(shard_of == s)[0]
+        if len(idx):
+            refs.append(shards[s].check_and_add.remote(hashes[idx]))
+            idxs.append(idx)
+    for idx, m in zip(idxs, ray.get(refs)):
+        out[idx] = m
+    return out
+
+
 @ray.remote(num_cpus=0.25)
 class SeenShard:
     """One shard of the distributed seen-set (T1, SURVEY §2.3)."""
@@ -349,6 +371,37 @@ class SeenSet:
                 idxs.append(idx)
         for idx, mask in zip(idxs, ray.get(refs)):
             out[idx] = mask
+        return out
+
+    #: chunk size for the distributed check path; ~2 MiB of hashes per
+    #: task keeps task-launch overhead < 1% while giving the scheduler
+    #: enough tasks to saturate every shard concurrently.
+    DISTRIBUTED_CHUNK = 1 << 18
+
+    def check_and_add_distributed(self, hashes: np.ndarray,
+                                  chunk: int | None = None) -> np.ndarray:
+        """``check_and_add`` with the scatter fanned out as Ray tasks:
+        the hashes are deduplicated (first occurrence wins — identical
+        semantics to the sequential path), split into chunks, and each
+        chunk scatters to the shards from a WORKER, so shard RPCs from
+        different chunks overlap instead of funneling through the
+        driver.  Use for large batches (seed ingestion, bulk dedup);
+        small batches should stay on ``check_and_add`` (task-launch
+        overhead dominates below ~100k hashes)."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        chunk = chunk or self.DISTRIBUTED_CHUNK
+        if len(hashes) <= chunk:
+            return self.check_and_add(hashes)
+        # in-batch dedup: unique hashes mean no cross-chunk races, so
+        # first-occurrence-wins holds exactly as in the driver path
+        uniq, first_idx = np.unique(hashes, return_index=True)
+        refs = [
+            _scatter_check_and_add.remote(uniq[o: o + chunk], self.shards)
+            for o in range(0, len(uniq), chunk)
+        ]
+        mask_u = np.concatenate(ray.get(refs))
+        out = np.zeros(len(hashes), dtype=bool)
+        out[first_idx[mask_u]] = True
         return out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:

@@ -106,3 +106,33 @@ def test_snapshot_restore_all_backends(tmp_path):
     with _pytest.raises(ValueError):
         s3.restore(str(tmp_path / "snap-exact"))
     s3.shutdown()
+
+
+def test_check_and_add_distributed_matches_sequential():
+    """Worker-side scatter (round-3 verdict #2): identical first-wins
+    semantics to the driver path — including in-batch duplicates and
+    forced chunking — against a second SeenSet fed sequentially."""
+    rng = np.random.default_rng(11)
+    uniq = rng.integers(1, 2**63, 7_000).astype(np.uint64)
+    dups = rng.choice(uniq, 3_000)
+    hashes = np.concatenate([uniq, dups])
+    rng.shuffle(hashes)
+
+    a = SeenSet(num_shards=3, backend="exact")
+    b = SeenSet(num_shards=3, backend="exact")
+    mask_dist = a.check_and_add_distributed(hashes, chunk=1024)
+    mask_seq = b.check_and_add(hashes)
+    assert mask_dist.tolist() == mask_seq.tolist()
+    # a second pass sees everything as duplicate on both
+    assert not a.check_and_add_distributed(hashes, chunk=1024).any()
+    assert a.size() == b.size() == len(uniq)
+    a.shutdown()
+    b.shutdown()
+
+
+def test_check_and_add_distributed_small_batch_fallback():
+    s = SeenSet(num_shards=2, backend="cuckoo")
+    h = np.array([5, 6, 5, 7], dtype=np.uint64)
+    # below the chunk threshold this is the sequential path, same result
+    assert s.check_and_add_distributed(h).tolist() == [True, True, False, True]
+    s.shutdown()
