@@ -49,19 +49,29 @@ class InvalidStatistic(ValueError):
 def _update_block_at(block, local_idx: int, flat: dict):
     """Worker-side positional update of one queue block: returns
     (updated_block, updated_row_dict) — the block stays in the object
-    store, the driver swaps the ref."""
+    store, the driver swaps the ref.  The rewrite is zero-copy slices
+    around a patched one-row table (no whole-column ``to_pylist``)."""
     import pandas as pd
 
     if isinstance(block, pd.DataFrame):
         block = pa.Table.from_pandas(block, preserve_index=False)
-    t = block
-    for col, val in flat.items():
-        vals = t.column(col).to_pylist()
-        vals[local_idx] = val
-        t = t.set_column(t.schema.get_field_index(col), col,
-                         pa.array(vals, t.schema.field(col).type))
-    row = {c: t.column(c)[local_idx].as_py() for c in t.column_names}
-    return t, row
+    from .pipelines.crawl import _patch_row
+
+    return _patch_row(block, local_idx, flat)
+
+
+@ray.remote
+def _block_is_arrow(block) -> bool:
+    return isinstance(block, pa.Table)
+
+
+@ray.remote
+def _block_to_arrow(block):
+    import pandas as pd
+
+    if isinstance(block, pd.DataFrame):
+        return pa.Table.from_pandas(block, preserve_index=False)
+    return block
 
 
 def _flatten_comparator(comparator: dict) -> dict[str, Any]:
@@ -226,6 +236,16 @@ class FrontierQueue:
         refs = [r for r, _ in blocks]
         refs[target] = new_ref
         row = ray.get(row_ref)
+        # from_arrow_refs requires Arrow blocks, but a pandas-backed
+        # queue (e.g. built via from_pandas) passes its unmodified
+        # blocks through untouched — convert those worker-side first
+        # (round-3 advice #6); the is-arrow probe returns one bool per
+        # block, no rows transit the driver
+        kinds = ray.get([_block_is_arrow.remote(r)
+                         for i, r in enumerate(refs) if i != target])
+        it = iter(kinds)
+        refs = [r if i == target or next(it) else _block_to_arrow.remote(r)
+                for i, r in enumerate(refs)]
         self._data = rd.from_arrow_refs(refs)
         return row
 

@@ -764,10 +764,17 @@ def test_update_queued_dataset_backend(web):
     eng = CrawlEngine(web, SEED, seen_shards=2, frontier_backend="dataset")
     eng.seed_frontier(["http://127.0.0.1:3000/stage7",
                        "http://127.0.0.1:3000/stage8"])
+    # second block (same host bucket, disjoint seq range): the
+    # seq-range metadata must route the update to exactly one block
+    eng.seed_frontier(["http://127.0.0.1:3000/stage9",
+                       "http://127.0.0.1:3000/css"])
     qt = eng.queued_table()
     seq = qt.column("seq")[0].as_py()
     row = eng.update_queued(seq, {"stateData": {"code": 999}})
     assert row["state_code"] == 999
+    assert eng._last_update_probes == 1, (
+        "seq-range metadata should probe exactly one covering block, "
+        f"probed {eng._last_update_probes}")
     qt2 = eng.queued_table()
     codes = dict(zip(qt2.column("seq").to_pylist(),
                      qt2.column("state_code").to_pylist()))

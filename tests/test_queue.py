@@ -211,3 +211,23 @@ def test_update_on_dataset_backed_queue():
         q.update(n + 5, {"fetched": True})
     with _pytest.raises(KeyError):
         q.update(0, {"nonsense_field": 1})
+
+
+def test_update_on_pandas_block_queue():
+    """A queue built from pandas blocks (rd.from_pandas) updates
+    correctly: unmodified pandas blocks are converted worker-side
+    before the Arrow-ref reassembly (round-3 advice #6)."""
+    import ray.data as rd
+
+    from simplecrawler_ray.queue_api import FrontierQueue
+
+    t = fixture_table()
+    dfs = [t.slice(0, 2).to_pandas(), t.slice(2).to_pandas()]
+    q = FrontierQueue(rd.from_pandas(dfs))
+    n = q.get_length()
+    row = q.update(0, {"stateData": {"code": 555}})
+    assert row["state_code"] == 555
+    # the reassembled dataset is fully usable (all blocks Arrow)
+    assert q.get_length() == n
+    assert q.get(0)["state_code"] == 555
+    assert q.count_items({"stateData": {"code": 555}}) == 1
