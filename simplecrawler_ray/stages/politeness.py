@@ -96,19 +96,37 @@ def politeness_dequeue_ds(
     return wave, remainder, requeue
 
 
-def dequeue_oldest_ds(queued: rd.Dataset, w: int) -> tuple[pa.Table, rd.Dataset]:
+#: w<=0 gathers the WHOLE frontier to the driver; past this many rows
+#: that's a scale foot-gun, so the dequeue refuses with guidance
+#: (round-3 verdict #3) instead of silently OOMing the driver.
+GATHER_GUARD_ROWS = 1_000_000
+
+
+def dequeue_oldest_ds(queued: rd.Dataset, w: int,
+                      gather_guard_rows: int = GATHER_GUARD_ROWS,
+                      ) -> tuple[pa.Table, rd.Dataset]:
     """Global W oldest rows by seq (the budget=0 / max_wave_rows path).
 
     Two thin passes, no full gather: (1) per-block local head-W of the
     seq column only -> driver merges ≤ W×blocks int64s and picks the
     global W-th seq as cutoff; (2) filter blocks by the cutoff — wave
     gathered (exactly ≤W rows, seqs are unique), remainder stays a
-    Dataset.  ``w == 0`` means take everything (small frontiers only).
+    Dataset.  ``w == 0`` means take everything — small frontiers only:
+    past ``gather_guard_rows`` rows this raises instead of gathering
+    the whole frontier to the driver (set ``max_wave_rows`` / a
+    positive ``w``, or raise the guard explicitly).
     """
     from ..ops import gather_tables
 
     mat = queued.materialize()
     if w <= 0:
+        n = mat.count()  # block metadata — no row transit
+        if gather_guard_rows and n > gather_guard_rows:
+            raise ValueError(
+                f"dequeue_oldest_ds(w<=0) would gather the whole "
+                f"{n}-row frontier to the driver (guard: "
+                f"{gather_guard_rows}).  Set max_wave_rows (engine) / "
+                "a positive w, or pass a larger gather_guard_rows.")
         tables = gather_tables(mat)
         wave = (pa.concat_tables(tables, promote_options="default")
                 if tables else _empty_like(queued))

@@ -893,3 +893,25 @@ def test_dataset_frontier_fetch_order_matches_driver_multi_host():
     order_ds, seqs_ds = crawl("dataset")
     assert order_d == order_ds          # exact FIFO order, unsorted
     assert seqs_d == seqs_ds            # identical seq stamping
+
+
+def test_dequeue_oldest_ds_guard_fires():
+    """w<=0 on a frontier past the gather guard refuses instead of
+    silently pulling every row to the driver (round-3 verdict #3);
+    a positive w and an explicit larger guard both still work."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplecrawler_ray.stages.politeness import dequeue_oldest_ds
+
+    t = pa.Table.from_pylist([
+        {"seq": i, "url": f"http://h.test/{i}", "host": "h.test",
+         "url_hash": i * 31 + 7} for i in range(40)
+    ])
+    ds = rd.from_arrow([t.slice(o, 10) for o in range(0, 40, 10)])
+    with pytest.raises(ValueError, match="gather"):
+        dequeue_oldest_ds(ds, 0, gather_guard_rows=20)
+    wave, rest = dequeue_oldest_ds(ds, 15, gather_guard_rows=20)
+    assert wave.num_rows == 15
+    wave2, _ = dequeue_oldest_ds(ds, 0, gather_guard_rows=100)
+    assert wave2.num_rows == 40
