@@ -201,7 +201,8 @@ def asof_join(left: rd.Dataset, right_small: "pd.DataFrame", key: str,
 def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
                           ts_col: str, direction: str = "backward",
                           suffix: str = "_r",
-                          n_buckets: int = 32) -> rd.Dataset:
+                          n_buckets: int = 32,
+                          salt: "dict | None" = None) -> rd.Dataset:
     """As-of join for two LARGE sides: both sides hash-shuffle by
     key BUCKET (one exchange into ``n_buckets`` groups), then each
     bucket runs one local ``pd.merge_asof(..., by=key)`` worker-side.
@@ -212,10 +213,24 @@ def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
     Bucketing (not group-per-key) keeps the group count at
     ``n_buckets`` — per-key groups were ~6x slower at 100k keys (one
     tiny pandas frame per key).  Partitioning assumption: all rows of
-    one bucket fit one worker; raise ``n_buckets`` for bigger inputs
-    or salt hot keys upstream.  Right value columns colliding with
-    left names get ``suffix``.
+    one bucket fit one worker; raise ``n_buckets`` for bigger inputs.
+
+    ``salt``: ``{key_value: k}`` for skew-heavy keys (Zipf head): a
+    salted key's LEFT rows split into ``k`` dedicated sub-buckets (by
+    timestamp hash) and its RIGHT rows are duplicated into each, so
+    the hot key's group shrinks ~k× while every left row still sees
+    the key's full right timeline — results are identical to the
+    unsalted join (mirrors the crawl politeness host-salting;
+    round-3 verdict #5).  Derive it from per-key counts past a
+    threshold.  Right value columns colliding with left names get
+    ``suffix``.
     """
+    salt = {k_: max(1, int(v)) for k_, v in (salt or {}).items()}
+    salt_offsets: dict = {}
+    off = n_buckets
+    for k_, kk in salt.items():
+        salt_offsets[k_] = off
+        off += kk
     lschema, rschema = left.schema(), right.schema()
     lnames, rnames = lschema.names, rschema.names
     ltypes = dict(zip(lnames, lschema.types))
@@ -225,11 +240,11 @@ def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
     lvals = [c for c in lnames if c not in (key, ts_col)]
     out_cols = [key, ts_col] + lvals + [rmap[c] for c in rvals]
 
-    def _bucket_col(batch: pa.Table) -> pa.Array:
+    def _base_buckets(batch: pa.Table) -> np.ndarray:
         # deterministic cross-process key hash (stable pandas hash)
         kb = pd.util.hash_pandas_object(
             batch.column(key).to_pandas(), index=False).to_numpy()
-        return pa.array((kb % n_buckets).astype(np.int64))
+        return (kb % n_buckets).astype(np.int64)
 
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {key: batch.column(key), ts_col: batch.column(ts_col)}
@@ -238,7 +253,18 @@ def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
         for c in rvals:
             cols[rmap[c]] = pa.nulls(batch.num_rows, rtypes[c])
         cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8))
-        cols["__bucket"] = _bucket_col(batch)
+        bucket = _base_buckets(batch)
+        if salt:
+            keys_pd = batch.column(key).to_pandas()
+            hot = keys_pd.isin(salt).to_numpy()
+            if hot.any():
+                # sub-bucket a hot key's left rows by timestamp hash
+                tsh = pd.util.hash_pandas_object(
+                    batch.column(ts_col).to_pandas(), index=False).to_numpy()
+                for kv, kk in salt.items():
+                    m = (keys_pd == kv).to_numpy()
+                    bucket[m] = salt_offsets[kv] + (tsh[m] % kk)
+        cols["__bucket"] = pa.array(bucket)
         return pa.table(cols)
 
     def tag_right(batch: pa.Table) -> pa.Table:
@@ -248,8 +274,23 @@ def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
         for c in rvals:
             cols[rmap[c]] = batch.column(c)
         cols["__side"] = pa.array(np.ones(batch.num_rows, np.int8))
-        cols["__bucket"] = _bucket_col(batch)
-        return pa.table(cols)
+        t = pa.table(cols)
+        bucket = _base_buckets(batch)
+        if not salt:
+            return t.append_column("__bucket", pa.array(bucket))
+        keys_pd = batch.column(key).to_pandas()
+        hot = keys_pd.isin(salt).to_numpy()
+        parts = [t.filter(pa.array(~hot)).append_column(
+            "__bucket", pa.array(bucket[~hot]))]
+        # a hot key's right rows are duplicated into each of its k
+        # sub-buckets so every left sub-bucket sees the full timeline
+        for kv, kk in salt.items():
+            sub = t.filter(pa.array((keys_pd == kv).to_numpy()))
+            for j in range(kk):
+                parts.append(sub.append_column("__bucket", pa.array(
+                    np.full(sub.num_rows, salt_offsets[kv] + j, np.int64))))
+        return pa.concat_tables([p for p in parts if p.num_rows],
+                                promote_options="default")
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow",
                               zero_copy_batch=True).union(
