@@ -84,6 +84,31 @@ def _split_fetched_block(t: pa.Table, want_body: bool):
 
 
 @ray.remote
+def _batched_hook_block(hook, t: pa.Table) -> "list[dict]":
+    """Worker-side batched fetch-complete hook (§2.10 manual discovery
+    at scale): the hook sees one block's downloaded rows as an Arrow
+    table (seq order, payloads included) and returns candidates —
+    either URL strings or dicts with ``candidate`` plus optional
+    referrer attribution.  Unlike the per-row ``fetch_complete_hook``
+    (which pulls every downloaded row to the driver), only the thin
+    candidate list transits the driver (round-3 verdict #7)."""
+    dl = t.filter(pc.equal(t.column("status"), "downloaded"))
+    if dl.num_rows == 0:
+        return []
+    dl = dl.take(pc.sort_indices(dl, sort_keys=[("seq", "ascending")]))
+    out = []
+    for e in (hook(dl) or []):
+        if isinstance(e, str):
+            e = {"candidate": e}
+        out.append(dict(candidate=e["candidate"],
+                        referrer_url=e.get("referrer_url", ""),
+                        referrer_depth=int(e.get("referrer_depth", 0)),
+                        parent_seq=int(e.get("parent_seq", -1)),
+                        pos=int(e.get("pos", 0))))
+    return out
+
+
+@ray.remote
 def _write_block(t: pa.Table, path: str) -> int:
     """Worker-side checkpoint write of one fetched block (payloads never
     transit the driver; multi-node deployments point checkpoint_dir at
@@ -440,6 +465,8 @@ DEFAULT_CONFIG = dict(
 class CrawlEngine:
     def __init__(self, web, initial_url: str, cache_index: Optional[dict] = None,
                  fetch_complete_hook: Optional[Callable[[dict], "list[str]|None"]] = None,
+                 fetch_complete_batch_hook: Optional[
+                     Callable[[pa.Table], "list|None"]] = None,
                  **options):
         # cache (conditional-GET) support only when the caller attaches an
         # index — mirrors the reference's `cache = null` default
@@ -457,6 +484,11 @@ class CrawlEngine:
         self.use_cache = cache_index is not None
         self.cache_index = cache_index if cache_index is not None else {}
         self.fetch_complete_hook = fetch_complete_hook
+        # batched form: hook(downloaded_block: pa.Table) -> candidates,
+        # evaluated WORKER-side per fetched block — the scale path (the
+        # per-row hook pulls every downloaded row to the driver)
+        self.fetch_complete_batch_hook = fetch_complete_batch_hook
+        self._batch_hook_ref = None
 
         self.seen = SeenSet(
             num_shards=self.cfg["seen_shards"],
@@ -1083,7 +1115,17 @@ class CrawlEngine:
         if n_non_redirect:
             self.first_request = False
 
-        # ---- fetch-complete hook (manual discovery, §2.10) ----
+        # ---- fetch-complete hooks (manual discovery, §2.10) ----
+        if self.fetch_complete_batch_hook is not None:
+            # batched form: one worker task per fetched block; only the
+            # thin candidate list reaches the driver
+            if self._batch_hook_ref is None:
+                self._batch_hook_ref = ray.put(self.fetch_complete_batch_hook)
+            for cands in ray.get([
+                _batched_hook_block.remote(self._batch_hook_ref, r)
+                for r in round_refs
+            ]):
+                self._manual.extend(cands)
         if self.fetch_complete_hook is not None:
             downloaded = fetched.filter(
                 pc.equal(fetched.column("status"), "downloaded"))

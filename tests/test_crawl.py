@@ -915,3 +915,34 @@ def test_dequeue_oldest_ds_guard_fires():
     assert wave.num_rows == 15
     wave2, _ = dequeue_oldest_ds(ds, 0, gather_guard_rows=100)
     assert wave2.num_rows == 40
+
+
+def test_manual_discovery_batched_hook(web):
+    """Batched worker-side fetch-complete hook (round-3 verdict #7):
+    same crawl as test_manual_discovery_hook, but the hook sees one
+    Arrow block of downloaded rows and returns attributed candidates —
+    bodies never transit the driver."""
+    def hook(table):
+        out = []
+        for cap, url, dep, seq in zip(table.column("caption").to_pylist(),
+                                      table.column("url").to_pylist(),
+                                      table.column("depth").to_pylist(),
+                                      table.column("seq").to_pylist()):
+            data = (cap or "").strip()
+            if data.startswith("http"):
+                out.append({"candidate": data, "referrer_url": url,
+                            "referrer_depth": dep, "parent_seq": seq})
+        return out
+
+    eng = CrawlEngine(web, SEED, discover=False,
+                      fetch_complete_batch_hook=hook, seen_shards=2)
+    eng.enqueue("http://127.0.0.1:3000/async-stage1")
+    res = eng.run(max_rounds=40)
+    urls = set(res.downloaded_urls())
+    assert {
+        "http://127.0.0.1:3000/",
+        "http://127.0.0.1:3000/async-stage1",
+        "http://127.0.0.1:3000/async-stage2",
+        "http://127.0.0.1:3000/async-stage3",
+    } <= urls
+    eng.seen.shutdown()
