@@ -108,7 +108,21 @@ def eval_condition(cond: Callable, queue_item: dict,
         if name in _CALLBACK_PARAM_NAMES:
             return _run_callback_style(cond, (queue_item,), timeout)
         # sync two-arg (queueItem, referrerQueueItem) shape
-        out = cond(queue_item, referrer_item)
+        try:
+            out = cond(queue_item, referrer_item)
+        except TypeError as e:
+            # a callback-style condition whose second parameter is NOT
+            # named done/callback/cb lands here and tries to call the
+            # referrer dict (or None) — surface the rename requirement
+            # instead of a bare "'dict' object is not callable"
+            if "not callable" in str(e):
+                raise ConditionError(
+                    f"condition {getattr(cond, '__name__', cond)!r} raised "
+                    f"{e!r}; if its second parameter is a completion "
+                    "callback, name it one of "
+                    f"{sorted(_CALLBACK_PARAM_NAMES)} so the engine passes "
+                    "a callback instead of the referrer queue-item") from e
+            raise
         if inspect.isawaitable(out):
             return bool(_loop().run_until_complete(out))
         return bool(out)

@@ -1380,6 +1380,7 @@ class CrawlEngine:
                        "first_request": self.first_request,
                        "metrics": self.metrics,
                        "seen_shards": self.cfg["seen_shards"],
+                       "seen_backend": self.cfg["seen_backend"],
                        "host": self.cfg["host"]}, f)
         os.replace(tmp, rdir)
 
@@ -1405,7 +1406,9 @@ class CrawlEngine:
         qt = eng._load_queued_ckpt(last)
         seen_dir = os.path.join(last, "seen")
         if os.path.isdir(seen_dir) \
-                and meta.get("seen_shards") == eng.cfg["seen_shards"]:
+                and meta.get("seen_shards") == eng.cfg["seen_shards"] \
+                and meta.get("seen_backend", eng.cfg["seen_backend"]) \
+                == eng.cfg["seen_backend"]:
             # snapshot fast path: reload each shard's filter file —
             # O(filter bytes), not O(crawled URLs)
             eng.seen.restore(seen_dir)
@@ -1439,6 +1442,7 @@ class CrawlEngine:
                        "first_request": self.first_request,
                        "metrics": self.metrics,
                        "seen_shards": self.cfg["seen_shards"],
+                       "seen_backend": self.cfg["seen_backend"],
                        "host": self.cfg["host"]}, f)
         os.replace(tmp, rdir)  # atomic publish: resumable (ray_guide layout)
 
@@ -1465,7 +1469,10 @@ class CrawlEngine:
 
         seen_dir = os.path.join(last, "seen")
         have_snapshot = (os.path.isdir(seen_dir)
-                         and meta.get("seen_shards") == eng.cfg["seen_shards"])
+                         and meta.get("seen_shards") == eng.cfg["seen_shards"]
+                         and meta.get("seen_backend",
+                                      eng.cfg["seen_backend"])
+                         == eng.cfg["seen_backend"])
         hashes = [qt.column("url_hash").to_numpy(zero_copy_only=False)]
         for rdir in rounds:
             parts = sorted(

@@ -331,6 +331,15 @@ class SeenShard:
             for k in z.files:
                 if k != "__meta":
                     st[k] = z[k]
+        kind = st.get("kind")
+        mine = next((k for k, v in BACKENDS.items()
+                     if type(self.backend) is v), None)
+        if kind is not None and mine is not None and kind != mine:
+            raise ValueError(
+                f"seen snapshot was written by the {kind!r} backend but "
+                f"this shard is configured as {mine!r} — restore into a "
+                "matching seen_backend, or resume without the snapshot "
+                "(url_hash replay)")
         self.backend.load_state(st)
         return len(self.backend)
 
@@ -435,7 +444,14 @@ class SeenSet:
         """Checkpoint every shard's filter to ``dir_path/shard-<i>.npz``
         in parallel (one file per shard, written by the shard actor).
         Resume with ``restore`` — O(filter bytes), not O(crawled URLs)
-        like the url_hash replay path."""
+        like the url_hash replay path.
+
+        Multi-node caveat: each shard actor writes its file from its
+        own node, and the crawl engine's checkpoint publish is an
+        ``os.replace`` on the driver — ``dir_path`` must therefore be
+        on a filesystem shared by every node (NFS / fuse mount), as is
+        standard for cluster checkpoints.  On a single node any local
+        path works."""
         import os
 
         os.makedirs(dir_path, exist_ok=True)

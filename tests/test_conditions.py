@@ -87,3 +87,28 @@ def test_coroutine_condition():
         return qi["depth"] == 2
 
     assert eval_condition(cond, QI) is True
+
+
+def test_misnamed_callback_param_gets_clear_error():
+    """Round-3 advice #4: a callback-style condition whose second param
+    is NOT named done/callback/cb is interpreted as the sync referrer
+    shape; when it then calls the referrer dict, the error names the
+    rename requirement instead of a bare TypeError."""
+    def cond(qi, finish):  # intended as callback-style, misnamed
+        finish(None, True)
+
+    with pytest.raises(ConditionError, match="done"):
+        eval_condition(cond, QI, REF)
+    # with referrer=None, calling None is equally guided
+    with pytest.raises(ConditionError, match="callback"):
+        eval_condition(cond, QI, None)
+
+
+def test_sync_two_arg_typeerror_inside_body_not_masked():
+    """A genuine TypeError raised inside a sync two-arg condition body
+    (not from calling the referrer) propagates unchanged."""
+    def cond(qi, ref):
+        return len(qi["depth"])  # TypeError: int has no len()
+
+    with pytest.raises(TypeError):
+        eval_condition(cond, QI, REF)

@@ -946,3 +946,30 @@ def test_manual_discovery_batched_hook(web):
         "http://127.0.0.1:3000/async-stage3",
     } <= urls
     eng.seen.shutdown()
+
+
+def test_turbo_resume_backend_mismatch_falls_back_to_replay(tmp_path):
+    """Round-3 advice #3: resuming a checkpoint whose seen snapshot was
+    written by a different seen_backend skips the snapshot fast path
+    and replays url_hashes instead of raising from load_state."""
+    import ray.data as rd
+
+    sw = ScaleWeb(n_pages=30, n_hosts=2, out_degree=2)
+    sink = str(tmp_path / "sink")
+    eng = CrawlEngine(sw, sw.url_of(0), filter_by_domain=False, seen_shards=2,
+                      store_body=False, batch_size=16, max_wave_rows=10,
+                      checkpoint_dir=str(tmp_path / "ck"), checkpoint_seen=True,
+                      seen_backend="exact")
+    eng.seed_frontier([sw.url_of(i) for i in range(30)])
+    eng.run_turbo(sink, max_rounds=2)
+    eng.seen.shutdown()
+    eng2 = CrawlEngine.resume_turbo(sw, sw.url_of(0), str(tmp_path / "ck"),
+                                    sink, filter_by_domain=False,
+                                    seen_shards=2, store_body=False,
+                                    batch_size=16, max_wave_rows=10,
+                                    checkpoint_seen=True,
+                                    seen_backend="cuckoo")
+    eng2.run_turbo(sink, max_rounds=60)
+    t = rd.read_parquet(sink).to_pandas()
+    assert t["url"].nunique() == 30
+    eng2.seen.shutdown()

@@ -136,3 +136,24 @@ def test_check_and_add_distributed_small_batch_fallback():
     # below the chunk threshold this is the sequential path, same result
     assert s.check_and_add_distributed(h).tolist() == [True, True, False, True]
     s.shutdown()
+
+
+def test_restore_backend_kind_mismatch_refused(tmp_path):
+    """Round-3 advice #3: restoring a snapshot written by one backend
+    into a pool configured with another raises a clear ValueError (not
+    a raw KeyError from load_state)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from simplecrawler_ray.state.seen import SeenSet
+
+    s1 = SeenSet(num_shards=2, backend="exact")
+    s1.add(np.arange(1, 100, dtype=np.uint64))
+    d = str(tmp_path / "snap")
+    s1.snapshot(d)
+    s1.shutdown()
+
+    s2 = SeenSet(num_shards=2, backend="cuckoo", capacity_per_shard=1 << 12)
+    with _pytest.raises(ValueError, match="backend"):
+        s2.restore(d)
+    s2.shutdown()
