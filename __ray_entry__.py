@@ -641,6 +641,44 @@ def _q_docs_fingerprint(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _docs_dup_edges(sf_dir: str):
+    """Star edges over two exact-match relations on documents: equal
+    md5 content fingerprint OR equal (lang, n_chars) — deliberately
+    coarse so sf0.01 yields non-trivial components (~75, max size 22)."""
+    from simplecrawler_ray.functions.graph import group_star_edges
+    from simplecrawler_ray.functions.text import fingerprint_md5_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
+    fp = docs.map_batches(fingerprint_md5_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    edges = group_star_edges(fp, ["fingerprint"]).union(
+        group_star_edges(docs, ["lang", "n_chars"]))
+    return docs, edges
+
+
+def _q_docs_dup_clusters(sf_dir: str):
+    """Distributed connected components (large-star/small-star) over the
+    dup-pair graph -> one cluster label per document."""
+    from simplecrawler_ray.functions.graph import dup_clusters
+
+    docs, edges = _docs_dup_edges(sf_dir)
+    out = dup_clusters(docs.select_columns(["doc_id"]), edges,
+                       id_a="src", id_b="dst")
+    df = out.to_pandas()[["doc_id", "cluster"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_docs_dedup_keepmin(sf_dir: str):
+    """Keep-one-representative-per-cluster over the same dup graph."""
+    from simplecrawler_ray.functions.graph import dedup_keep_min
+
+    docs, edges = _docs_dup_edges(sf_dir)
+    out = dedup_keep_min(docs.select_columns(["doc_id", "n_chars"]), edges,
+                         id_a="src", id_b="dst")
+    df = out.to_pandas()[["doc_id", "n_chars"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_embed_dup_pairs(sf_dir: str):
     # threshold 0.45: the synthetic embeddings are random (max off-diag
     # cos ~0.51 at sf0.01), so 0.95 can never fire; 0.45 deterministically
@@ -724,6 +762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_simhash_pairs": _q_docs_simhash_pairs,
         "q_docs_langid": _q_docs_langid,
         "q_docs_fingerprint": _q_docs_fingerprint,
+        "q_docs_dup_clusters": _q_docs_dup_clusters,
+        "q_docs_dedup_keepmin": _q_docs_dedup_keepmin,
         "q_embed_dup_pairs": _q_embed_dup_pairs,
         "q_embed_knn_ivf": _q_embed_knn_ivf,
     }
@@ -956,6 +996,82 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.ots
             ORDER BY e.event_id
+        """,
+        "q_docs_dup_clusters": """
+            WITH RECURSIVE fp AS (
+                SELECT doc_id,
+                       CAST(md5_number_lower(text) & 9223372036854775807 AS BIGINT) AS f
+                FROM documents
+            ),
+            e1 AS (
+                SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY f) AS dst
+                FROM fp
+            ),
+            e2 AS (
+                SELECT doc_id AS src,
+                       MIN(doc_id) OVER (PARTITION BY lang, n_chars) AS dst
+                FROM documents
+            ),
+            edges AS (
+                SELECT src, dst FROM e1 WHERE src <> dst
+                UNION
+                SELECT src, dst FROM e2 WHERE src <> dst
+            ),
+            bidir AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT dst AS src, src AS dst FROM edges
+            ),
+            walk(node, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT b.dst, walk.comp
+                FROM walk JOIN bidir b ON walk.node = b.src
+                WHERE walk.comp < b.dst
+            )
+            SELECT node AS doc_id, MIN(comp) AS cluster
+            FROM walk GROUP BY node ORDER BY doc_id
+        """,
+        "q_docs_dedup_keepmin": """
+            WITH RECURSIVE fp AS (
+                SELECT doc_id,
+                       CAST(md5_number_lower(text) & 9223372036854775807 AS BIGINT) AS f
+                FROM documents
+            ),
+            e1 AS (
+                SELECT doc_id AS src, MIN(doc_id) OVER (PARTITION BY f) AS dst
+                FROM fp
+            ),
+            e2 AS (
+                SELECT doc_id AS src,
+                       MIN(doc_id) OVER (PARTITION BY lang, n_chars) AS dst
+                FROM documents
+            ),
+            edges AS (
+                SELECT src, dst FROM e1 WHERE src <> dst
+                UNION
+                SELECT src, dst FROM e2 WHERE src <> dst
+            ),
+            bidir AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT dst AS src, src AS dst FROM edges
+            ),
+            walk(node, comp) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT b.dst, walk.comp
+                FROM walk JOIN bidir b ON walk.node = b.src
+                WHERE walk.comp < b.dst
+            ),
+            labels AS (
+                SELECT node AS doc_id, MIN(comp) AS cluster
+                FROM walk GROUP BY node
+            )
+            SELECT d.doc_id, d.n_chars
+            FROM documents d JOIN labels l ON d.doc_id = l.doc_id
+            WHERE l.cluster = d.doc_id
+            ORDER BY d.doc_id
         """,
         "q_embed_dup_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

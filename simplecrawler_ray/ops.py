@@ -38,7 +38,16 @@ def gather_tables(ds: rd.Dataset) -> list[pa.Table]:
     then the refs come for free.
     """
     md = ds.materialize()
-    return [t for t in (ray.get(r) for r in md.to_arrow_refs()) if t.num_rows]
+    out = []
+    for r in md.to_arrow_refs():
+        t = ray.get(r)
+        # Ray 2.49's to_arrow_refs passes pandas blocks through unconverted
+        # (e.g. untouched empty blocks downstream of a pandas map_groups)
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows:
+            out.append(t)
+    return out
 
 
 def groupby_agg(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple],
