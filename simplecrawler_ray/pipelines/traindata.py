@@ -29,8 +29,18 @@ from ..ops import groupby_agg
 def run_training_pipeline(ds: rd.Dataset, *, max_tokens: int = 512,
                           min_tokens: int = 5, max_digit_frac: float = 0.3,
                           val_frac: float = 0.1, test_frac: float = 0.05,
-                          id_col: str = "doc_id") -> dict:
-    """Dedup -> quality filter -> split -> pack; returns summary stats."""
+                          id_col: str = "doc_id",
+                          near_dup: bool = False,
+                          jaccard_threshold: float = 0.7) -> dict:
+    """Dedup -> [near-dup cluster dedup] -> quality filter -> split ->
+    pack; returns summary stats.
+
+    With ``near_dup=True`` the exact-dedup survivors additionally go
+    through MinHash+LSH pairing -> connected components -> keep the
+    component-min representative (``functions/graph.dedup_keep_min``),
+    so whole CLUSTERS of near-identical docs collapse to one row, not
+    just byte-identical ones.
+    """
     n_input = ds.count()
 
     # 1. exact dedup: min-id per content hash; only (hash, id) shuffles,
@@ -53,6 +63,20 @@ def run_training_pipeline(ds: rd.Dataset, *, max_tokens: int = 512,
     # would execute twice (round-2 q_train_pipeline was 10x query median).
     deduped = hash_join(ds, keep_ids, on=id_col, n_buckets=8,
                         how="semi").materialize()
+
+    # 1b. optional near-dup pass: pairs -> components -> keep min id
+    n_near_dropped = 0
+    n_exact = deduped.count()  # materialized: metadata-only count
+    if near_dup:
+        from ..functions.dedup import minhash_lsh_pairs
+        from ..functions.graph import dedup_keep_min
+
+        pairs = minhash_lsh_pairs(deduped, id_col=id_col,
+                                  jaccard_threshold=jaccard_threshold)
+        if pairs.num_rows:
+            deduped = dedup_keep_min(deduped, pairs, id_col=id_col,
+                                     id_a="id_a", id_b="id_b").materialize()
+            n_near_dropped = n_exact - deduped.count()
 
     # 2. quality + token filters (vectorized counts)
     def quality_filter(batch: pa.Table) -> pa.Table:
@@ -86,10 +110,10 @@ def run_training_pipeline(ds: rd.Dataset, *, max_tokens: int = 512,
         rd.aggregate.Sum("total_tokens"),
         rd.aggregate.Mean("total_tokens"),
     )
-    n_dedup = deduped.count()
     return {
         "n_input": n_input,
-        "n_after_dedup": n_dedup,
+        "n_after_dedup": n_exact,
+        "n_near_dup_dropped": n_near_dropped,
         "n_after_quality": sum(counts.values()),
         "n_train": counts.get("train", 0),
         "n_val": counts.get("val", 0),

@@ -409,6 +409,37 @@ def test_training_pipeline_end_to_end():
     assert 0 < out["mean_pack_fill"] <= 1.0
 
 
+def test_training_pipeline_near_dup_collapses_clusters():
+    """near_dup=True: a cluster of near-identical docs (small token
+    edits, so NOT exact dups) collapses to its min-id representative
+    via minhash pairs -> connected components -> keep-min."""
+    import ray.data as rd
+
+    from simplecrawler_ray.pipelines.traindata import run_training_pipeline
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight " * 4)
+    texts = []
+    for i in range(60):
+        if i < 5:   # near-dup cluster: one token differs per member
+            texts.append(base + f"variant{i}")
+        else:
+            texts.append(f"totally distinct document {i} with its own "
+                         f"unique vocabulary item u{i} words " * 3)
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow([t.slice(o, 16) for o in range(0, 60, 16)])
+    out = run_training_pipeline(ds, max_tokens=256, near_dup=True,
+                                jaccard_threshold=0.7)
+    assert out["n_after_dedup"] == 60           # no exact dups
+    assert out["n_near_dup_dropped"] == 4       # cluster of 5 -> 1 row
+    assert out["n_after_quality"] == 56
+
+    baseline = run_training_pipeline(ds, max_tokens=256)
+    assert baseline["n_near_dup_dropped"] == 0
+    assert baseline["n_after_quality"] == 60
+
+
 def test_asof_join_partitioned_matches_broadcast():
     """Two-large-sides as-of (round-2 verdict #7): hash-shuffle both
     sides by key + per-group merge_asof must equal the broadcast
