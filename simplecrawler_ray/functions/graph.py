@@ -172,9 +172,47 @@ def _canonical(edges: rd.Dataset, n_buckets: int):
     return ded, (count, csum)
 
 
+def _union_find_labels(tables: list[pa.Table]) -> pa.Table:
+    """Driver-side union-find (path-halving) over gathered edge tables;
+    returns the (node, component-min) label table sorted by node."""
+    if not tables:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    t = pa.concat_tables(tables, promote_options="default")
+    s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = s != d  # match distributed semantics: loop-only nodes absent
+    s, d = s[keep], d[keep]
+    if not len(s):
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+    si, di = inv[:len(s)], inv[len(s):]
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(si.tolist(), di.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min ORIGINAL id so the root is the component min
+            if nodes[ra] < nodes[rb]:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "component": pa.array(nodes[roots], pa.int64())})
+
+
 def connected_components(edges, src: str = "src", dst: str = "dst",
                          n_buckets: int = 32,
-                         max_rounds: int = 64) -> rd.Dataset:
+                         max_rounds: int = 64,
+                         small_threshold: int = 200_000) -> rd.Dataset:
     """Connected components over an undirected edge list.
 
     Returns a Dataset with columns ``(node, component)`` where
@@ -185,7 +223,21 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
 
     ``edges`` may be a Dataset or a driver-side Arrow/pandas pair
     table (the shape our near-dup operators return).
+
+    Graphs at or below ``small_threshold`` deduped edges take a
+    driver-side union-find fast path (the canonical-dedup pass has
+    already counted them, and near-dup pair sets are tiny relative to
+    the corpus); larger graphs run the distributed star contraction,
+    whose per-round shuffles would otherwise dominate small inputs.
     """
+    if not isinstance(edges, rd.Dataset):
+        tbl = (pa.Table.from_pandas(edges, preserve_index=False)
+               if isinstance(edges, pd.DataFrame) else edges)
+        if tbl.num_rows <= small_threshold:
+            # driver-side pairs under the cap: no Ray work at all
+            # (duplicate edges are harmless to union-find)
+            tbl = pa.table({"src": tbl.column(src), "dst": tbl.column(dst)})
+            return rd.from_arrow(_union_find_labels([tbl]))
     cur = _edges_dataset(edges, src, dst)
     if src != "src" or dst != "dst":
         cur = cur.map_batches(
@@ -196,6 +248,9 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
     if sig[0] == 0:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "component": pa.array([], pa.int64())}))
+    if sig[0] <= small_threshold:
+        from ..ops import gather_tables
+        return rd.from_arrow(_union_find_labels(gather_tables(cur)))
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(cur, n_buckets), n_buckets)
         nxt, nsig = _canonical(nxt, n_buckets)

@@ -44,7 +44,10 @@ def _run_cc(edges, **kw):
     return dict(zip(out["node"].tolist(), out["component"].tolist()))
 
 
-def test_cc_chain_star_clique():
+# small_threshold=0 forces the distributed star-contraction path; the
+# default exercises the driver-side union-find fast path
+@pytest.mark.parametrize("st", [200_000, 0])
+def test_cc_chain_star_clique(st):
     edges = (
         [(i, i + 1) for i in range(10, 20)]          # chain 10..20
         + [(100, v) for v in range(101, 108)]         # star at 100
@@ -52,15 +55,16 @@ def test_cc_chain_star_clique():
            for b in range(a + 1, 205)]
         + [(300, 301)]                                # lone pair
     )
-    got = _run_cc(edges)
+    got = _run_cc(edges, small_threshold=st)
     want = {n: c for n, c in _uf_components(edges).items()}
     assert got == want
     assert got[19] == 10 and got[107] == 100 and got[204] == 200
 
 
-def test_cc_self_loops_duplicates_and_reversed_edges():
+@pytest.mark.parametrize("st", [200_000, 0])
+def test_cc_self_loops_duplicates_and_reversed_edges(st):
     edges = [(5, 5), (1, 2), (2, 1), (1, 2), (2, 3), (3, 2), (9, 9)]
-    got = _run_cc(edges)
+    got = _run_cc(edges, small_threshold=st)
     # pure self-loop nodes are singletons -> absent from the labels
     assert got == {1: 1, 2: 1, 3: 1}
 
@@ -73,7 +77,7 @@ def test_cc_long_path_needs_multiple_rounds():
     # a 200-node path has diameter 199: naive min-propagation needs ~200
     # rounds; star contraction must converge in O(log^2 n)
     edges = [(i, i + 1) for i in range(1000, 1200)]
-    got = _run_cc(edges, max_rounds=25)
+    got = _run_cc(edges, max_rounds=25, small_threshold=0)
     assert set(got.values()) == {1000}
     assert len(got) == 201
 
@@ -85,8 +89,9 @@ def test_cc_randomized_vs_union_find(seed):
     m = 400
     edges = [(int(a), int(b)) for a, b in
              rng.integers(0, n, size=(m, 2)) if a != b]
-    got = _run_cc(edges)
-    assert got == _uf_components(edges)
+    want = _uf_components(edges)
+    assert _run_cc(edges) == want                       # fast path
+    assert _run_cc(edges, small_threshold=0) == want    # distributed
 
 
 def test_cc_accepts_dataset_and_custom_columns():
