@@ -724,6 +724,44 @@ def _q_embed_knn_ivf(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _q_docs_bm25(sf_dir: str):
+    """BM25 top-15 for a fixed bag of query terms: one tokenize pass ->
+    narrow tf table, tiny stats reduce, per-block score+topk merge."""
+    from simplecrawler_ray.functions.retrieval import bm25_topk
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    t = bm25_topk(docs, ["data", "model", "the"], k=15)
+    return t.to_pandas().reset_index(drop=True)
+
+
+def _q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity) per user: hash-bucket
+    shuffle + vectorized per-bucket sort/shift/cumsum."""
+    from simplecrawler_ray.ops import sessionize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = sessionize(ev, "user_id", "ts", gap_s=1800,
+                     tiebreak="event_id").to_pandas()
+    return (out.sort_values(["user_id", "session_id"])
+               .reset_index(drop=True))
+
+
+def _q_orders_topk_per_cust(sf_dir: str):
+    """Top-2 orders per customer by price: per-block partial top-k, then
+    per-bucket vectorized final — no global sort."""
+    from simplecrawler_ray.ops import grouped_topk
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    out = grouped_topk(orders, ["o_custkey"], "o_totalprice", k=2,
+                       tiebreak="o_orderkey").to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(6)
+    out = out.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True])
+    return (out[["o_custkey", "o_orderkey", "o_totalprice"]]
+            .reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -766,6 +804,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_dedup_keepmin": _q_docs_dedup_keepmin,
         "q_embed_dup_pairs": _q_embed_dup_pairs,
         "q_embed_knn_ivf": _q_embed_knn_ivf,
+        "q_docs_bm25": _q_docs_bm25,
+        "q_events_sessions": _q_events_sessions,
+        "q_orders_topk_per_cust": _q_orders_topk_per_cust,
     }
 
 
@@ -1090,5 +1131,63 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cos DESC, vec_id
             LIMIT 20
+        """,
+        # BM25 with idf = ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2,
+        # b=0.75; tokenizer = lower-cased ASCII letter runs, identical
+        # in Python re and DuckDB RE2 (functions/retrieval.py)
+        "q_docs_bm25": """
+            WITH tf AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z]+')) AS dl,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), x -> x = 'data')) AS tf0,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), x -> x = 'model')) AS tf1,
+                     len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), x -> x = 'the')) AS tf2
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM tf
+            )
+            SELECT doc_id, ROUND(
+                LN(1 + (n - df0 + 0.5)/(df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+              + LN(1 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+              + LN(1 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 6) AS bm25
+            FROM tf, stats
+            WHERE tf0 + tf1 + tf2 > 0
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 15
+        """,
+        # new session when the gap to the user's previous event is
+        # strictly > 1800 s (ops.sessionize)
+        "q_events_sessions": """
+            WITH x AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), y AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM x
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM y GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "q_orders_topk_per_cust": """
+            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+            WHERE rn <= 2
+            ORDER BY o_custkey, o_totalprice DESC, o_orderkey
         """,
     }

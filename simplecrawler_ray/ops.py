@@ -421,3 +421,87 @@ def tumbling_window(ds: rd.Dataset, ts_col: str, size_s: int, keys: list[str],
 
     bucketed = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
     return groupby_agg(bucketed, keys + ["window_start"], aggs)
+
+
+def sessionize(ds: rd.Dataset, key_col: str, ts_col: str, gap_s: int = 1800,
+               tiebreak: "str|None" = None,
+               n_buckets: int = 32) -> rd.Dataset:
+    """Gap-based sessionization: one output row per (key, session).
+
+    A new session starts when the gap to the key's previous event is
+    strictly greater than ``gap_s`` seconds.  Returns
+    (key, session_id starting at 1 per key, n_events, session_start,
+    session_end).
+
+    Scale shape: keys hash into ``n_buckets`` groups (ONE shuffle);
+    each bucket sessionizes its whole frame VECTORIZED across all its
+    keys (sort + shift + cumsum), so millions of tiny per-key groups
+    never become millions of pandas frames.  Data-dependent windows
+    need the key's full timeline co-located — unlike
+    ``tumbling_window`` there is no mergeable partial, so the shuffle
+    is inherent.
+    """
+    def tag(batch: pa.Table) -> pa.Table:
+        kb = pd.util.hash_pandas_object(
+            batch.column(key_col).to_pandas(), index=False).to_numpy()
+        return batch.append_column(
+            "__bucket", pa.array((kb % n_buckets).astype(np.int64)))
+
+    order = [key_col, ts_col] + ([tiebreak] if tiebreak else [])
+
+    def bucket_sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order, kind="stable")
+        ts = g[ts_col]
+        gap = ts.diff().dt.total_seconds()
+        new_sess = (g[key_col] != g[key_col].shift()) | (gap > gap_s)
+        g = g.assign(session_id=new_sess.groupby(
+            g[key_col], sort=False).cumsum().astype("int64"))
+        out = (g.groupby([key_col, "session_id"], sort=False)
+                .agg(n_events=(ts_col, "size"),
+                     session_start=(ts_col, "min"),
+                     session_end=(ts_col, "max"))
+                .reset_index())
+        return out
+
+    return (ds.map_batches(tag, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("__bucket")
+              .map_groups(bucket_sessions, batch_format="pandas"))
+
+
+def grouped_topk(ds: rd.Dataset, group_cols: list[str], sort_col: str,
+                 k: int, descending: bool = True,
+                 tiebreak: "str|None" = None,
+                 n_buckets: int = 32) -> rd.Dataset:
+    """Per-group top-k without a global sort.
+
+    Two stages: a per-block partial keeps at most k rows per group
+    seen in that block (bounds the shuffle to k rows/group/block),
+    then groups hash into ``n_buckets`` buckets and each bucket takes
+    its final top-k VECTORIZED (one sort + groupby.head per bucket,
+    not one frame per group).  Ties break by ``tiebreak`` ascending.
+    """
+    order = [*group_cols, sort_col] + ([tiebreak] if tiebreak else [])
+    asc = [True] * len(group_cols) + [not descending] + \
+        ([True] if tiebreak else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(order, ascending=asc,
+                                           kind="stable")
+        kept = df.groupby(group_cols, sort=False).head(k)
+        kb = pd.util.hash_pandas_object(kept[group_cols[0]]
+                                        if len(group_cols) == 1
+                                        else kept[group_cols],
+                                        index=False).to_numpy()
+        kept = kept.assign(__bucket=(kb % n_buckets).astype(np.int64))
+        return pa.Table.from_pandas(kept, preserve_index=False)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order, ascending=asc, kind="stable")
+        return (g.groupby(group_cols, sort=False).head(k)
+                 .drop(columns="__bucket"))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("__bucket")
+              .map_groups(final, batch_format="pandas"))

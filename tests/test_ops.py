@@ -589,3 +589,89 @@ def test_asof_join_partitioned_salted_hot_key():
     salted = salted.sort_values(["key", "ts", "lv"]).reset_index(drop=True)
     assert len(salted) == len(plain) == n_l
     pd.testing.assert_frame_equal(salted, plain, check_like=True)
+
+
+def test_sessionize_matches_duckdb():
+    from simplecrawler_ray.ops import sessionize
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 120, n),
+        "ts": pd.to_datetime("2024-03-01")
+        + pd.to_timedelta(rng.integers(0, 86400 * 2, n), unit="s"),
+    })
+    ds = rd.from_pandas(df).repartition(7)
+    got = (sessionize(ds, "user_id", "ts", gap_s=1800, tiebreak="event_id")
+           .to_pandas().sort_values(["user_id", "session_id"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute("""
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), y AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM x
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events, min(ts) AS session_start,
+               max(ts) AS session_end
+        FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id
+    """).df().astype({"user_id": "int64", "n_events": "int64"})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_sessionize_gap_is_strict():
+    from simplecrawler_ray.ops import sessionize
+
+    ts0 = pd.Timestamp("2024-01-01 00:00:00")
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "user_id": [7, 7, 7],
+        # exactly 1800 s then 1801 s gaps: first stays, second splits
+        "ts": [ts0, ts0 + pd.Timedelta(seconds=1800),
+               ts0 + pd.Timedelta(seconds=1800 + 1801)],
+    })
+    out = (sessionize(rd.from_pandas(df), "user_id", "ts", gap_s=1800,
+                      tiebreak="event_id")
+           .to_pandas().sort_values("session_id").reset_index(drop=True))
+    assert out["session_id"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [2, 1]
+
+
+def test_grouped_topk_matches_pandas(sample_df):
+    from simplecrawler_ray.ops import grouped_topk
+
+    df = sample_df.assign(rid=np.arange(len(sample_df), dtype=np.int64))
+    ds = rd.from_pandas(df).repartition(9)
+    got = (grouped_topk(ds, ["k"], "v", k=3, tiebreak="rid")
+           .to_pandas().sort_values(["k", "v", "rid"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    want = (df.sort_values(["k", "v", "rid"], ascending=[True, False, True],
+                           kind="stable")
+              .groupby("k", sort=False).head(3)
+              .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_grouped_topk_ties_and_ascending():
+    from simplecrawler_ray.ops import grouped_topk
+
+    df = pd.DataFrame({"g": [1, 1, 1, 2, 2],
+                       "v": [5.0, 5.0, 5.0, 1.0, 2.0],
+                       "rid": [10, 11, 12, 13, 14]})
+    got = (grouped_topk(rd.from_pandas(df).repartition(3), ["g"], "v", k=2,
+                        descending=False, tiebreak="rid")
+           .to_pandas().sort_values(["g", "v", "rid"])
+           .reset_index(drop=True))
+    assert got[["g", "rid"]].values.tolist() == [[1, 10], [1, 11],
+                                                 [2, 13], [2, 14]]
