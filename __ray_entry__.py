@@ -762,6 +762,120 @@ def _q_orders_topk_per_cust(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_events_lag(sf_dir: str):
+    """Per-user inter-event gap (LAG window): one hash-bucket shuffle,
+    vectorized per-bucket sort + shift — no per-key pandas frames."""
+    from simplecrawler_ray.ops import lag_delta
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    ev = ev.map_batches(
+        lambda b: b.append_column("ts_us", b.column("ts").cast(pa.int64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = lag_delta(ev, "user_id", ["ts", "event_id"], "ts_us",
+                    ["event_id", "user_id"], out_col="gap_us").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def _q_orders_cumspend(sf_dir: str):
+    """Running spend per customer (SUM OVER window) in exact integer
+    cents, so the cumulative sum is association-order independent."""
+    from simplecrawler_ray.ops import cumsum_by_key
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice",
+                            "o_orderdate"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.rint(b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return b.append_column("cents", pa.array(c))
+
+    orders = orders.map_batches(cents, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = cumsum_by_key(orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+                        "cents", ["o_orderkey", "o_custkey"],
+                        out_col="spend_cents").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _q_cust_no_big_orders(sf_dir: str):
+    """Customers with no order above 350k: distributed ANTI join — the
+    right side is narrowed to its key, null-padded into the left
+    schema, and both sides hash-bucket in ONE shuffle (no broadcast,
+    no driver gather)."""
+    from simplecrawler_ray.ops import anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    big = (_read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+           .filter(expr="o_totalprice > 350000"))
+    out = anti_join(cust, big, "c_custkey", right_on="o_custkey").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _q_lineitem_quantiles(sf_dir: str):
+    """Exact per-group discrete percentiles WITHOUT gathering a group:
+    one distributed sort, per-block run-length key counts (bytes) to
+    the driver, then point `take` tasks fetch the target rows."""
+    from simplecrawler_ray.ops import grouped_percentile_disc
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    t = grouped_percentile_disc(li, "l_returnflag", "l_quantity",
+                                [0.25, 0.5, 0.9])
+    return t.to_pandas()
+
+
+def _q_events_pivot(sf_dir: str):
+    """COUNT(*) FILTER pivot of event types per user: per-batch
+    crosstab partials pre-combine before the only shuffle."""
+    from simplecrawler_ray.ops import pivot_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    out = pivot_counts(ev, "user_id", "event_type",
+                       ["click", "error", "purchase", "signup", "view"])
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def _md5_low64_of_str(vals) -> np.ndarray:
+    """uint64 little-endian low half of md5(str(v)) — DuckDB's
+    md5_number_lower, the oracle-checkable deterministic sampler."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(v).encode()).digest()[8:], "little")
+         for v in vals), dtype=np.uint64, count=len(vals))
+
+
+def _q_docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 50 docs per language, ranked by
+    md5(doc_id) — reuses grouped_topk (partial per-block top-k bounds
+    the shuffle to k rows/group/block), so sampling is one narrow
+    pass, not a global sort."""
+    from simplecrawler_ray.ops import grouped_topk
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def rank(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__md5", pa.array(_md5_low64_of_str(b.column("doc_id").to_pylist())))
+
+    ranked = docs.map_batches(rank, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = grouped_topk(ranked, ["lang"], "__md5", k=50, descending=False,
+                       tiebreak="doc_id").to_pandas()
+    return (out[["doc_id", "lang"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def _q_events_approx_users(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id): 16 KiB register
+    partials per block, driver max-merge — no shuffle.  No SQL oracle
+    (approximate); pytest pins <2% relative error at 200k keys."""
+    from simplecrawler_ray.functions.sketch import approx_ndistinct
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_ndistinct(ev, "user_id")
+    return pd.DataFrame({"approx_users": [float(round(est, 1))]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -807,6 +921,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_bm25": _q_docs_bm25,
         "q_events_sessions": _q_events_sessions,
         "q_orders_topk_per_cust": _q_orders_topk_per_cust,
+        "q_events_lag": _q_events_lag,
+        "q_orders_cumspend": _q_orders_cumspend,
+        "q_cust_no_big_orders": _q_cust_no_big_orders,
+        "q_lineitem_quantiles": _q_lineitem_quantiles,
+        "q_events_pivot": _q_events_pivot,
+        "q_docs_stratified_sample": _q_docs_stratified_sample,
+        "q_events_approx_users": _q_events_approx_users,
     }
 
 
@@ -1180,6 +1301,59 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end
             FROM y GROUP BY user_id, session_id
             ORDER BY user_id, session_id
+        """,
+        "q_events_lag": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events ORDER BY event_id
+        """,
+        "q_orders_cumspend": """
+            SELECT o_orderkey, o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
+                       (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS spend_cents
+            FROM orders ORDER BY o_orderkey
+        """,
+        "q_cust_no_big_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 350000)
+            ORDER BY c_custkey
+        """,
+        "q_lineitem_quantiles": """
+            SELECT * FROM (
+              SELECT l_returnflag, 0.25 AS p,
+                     quantile_disc(l_quantity, 0.25) AS l_quantity
+              FROM lineitem GROUP BY l_returnflag
+              UNION ALL
+              SELECT l_returnflag, 0.5 AS p,
+                     quantile_disc(l_quantity, 0.5) AS l_quantity
+              FROM lineitem GROUP BY l_returnflag
+              UNION ALL
+              SELECT l_returnflag, 0.9 AS p,
+                     quantile_disc(l_quantity, 0.9) AS l_quantity
+              FROM lineitem GROUP BY l_returnflag)
+            ORDER BY l_returnflag, p
+        """,
+        "q_events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
+                   count(*) FILTER (event_type = 'view')     AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q_docs_stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER
+                  (PARTITION BY lang
+                   ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)),
+                            doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 50 ORDER BY doc_id
         """,
         "q_orders_topk_per_cust": """
             SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice

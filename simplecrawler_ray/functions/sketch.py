@@ -1,0 +1,98 @@
+"""Cardinality sketches for 100 TB-scale distinct counts.
+
+At 10^10 URLs an exact ``distinct().count()`` shuffles every key; a
+HyperLogLog register array is 2^p bytes per PARTIAL regardless of input
+size, merges with an elementwise max, and lands on the driver as a few
+KiB.  Pure numpy, no libs.
+
+Estimator: classic HyperLogLog (Flajolet et al. 2007) with the
+small-range linear-counting correction; relative error ~1.04/sqrt(2^p)
+(~0.8% at p=14).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates pandas' 64-bit hash."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def hll_partial(values: "pd.Series|np.ndarray", p: int = 14) -> np.ndarray:
+    """One batch's HLL registers (uint8[2^p]) — the mergeable partial."""
+    h = _mix64(pd.util.hash_pandas_object(
+        pd.Series(values), index=False).to_numpy())
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    # rank = leading zeros of the remaining 64-p bits, +1 (cap 64-p+1)
+    nbits = 64 - p
+    rank = np.full(len(h), nbits + 1, dtype=np.uint8)
+    nz = rest != 0
+    # leading zero count via float64 exponent is unsafe past 2^53; use
+    # a bit-length loop over the 64-bit halves instead (vectorized)
+    hi = (rest[nz] >> np.uint64(32)).astype(np.uint32)
+    lo = (rest[nz] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    # bit_length of a uint32 fits float64 exactly
+    bl_hi = np.where(hi > 0, np.floor(np.log2(
+        np.maximum(hi, 1).astype(np.float64))).astype(np.int64) + 1, 0)
+    bl_lo = np.where(lo > 0, np.floor(np.log2(
+        np.maximum(lo, 1).astype(np.float64))).astype(np.int64) + 1, 0)
+    bl = np.where(hi > 0, bl_hi + 32, bl_lo)
+    rank[nz] = (64 - bl + 1).astype(np.uint8)
+    rank = np.minimum(rank, nbits + 1)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(parts: "list[np.ndarray]") -> np.ndarray:
+    out = parts[0].copy()
+    for q in parts[1:]:
+        np.maximum(out, q, out)
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    est = _alpha(m) * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            return m * float(np.log(m / zeros))
+    return float(est)
+
+
+def approx_ndistinct(ds: rd.Dataset, col: str, p: int = 14) -> float:
+    """Approximate COUNT(DISTINCT col): per-batch register partials
+    (2^p bytes each), merged driver-side — no shuffle, no key transit."""
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = hll_partial(batch.column(col).to_pandas(), p=p)
+        return pa.Table.from_pydict({"regs": [regs.tobytes()]})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+    blobs = [np.frombuffer(r["regs"], dtype=np.uint8)
+             for r in parts.take_all()]
+    return hll_estimate(hll_merge(blobs))

@@ -505,3 +505,266 @@ def grouped_topk(ds: rd.Dataset, group_cols: list[str], sort_col: str,
                            zero_copy_batch=True)
               .groupby("__bucket")
               .map_groups(final, batch_format="pandas"))
+
+
+def _tag_bucket(batch: pa.Table, key_col: str, n_buckets: int) -> pa.Table:
+    """Append a __bucket column: stable hash of key_col mod n_buckets."""
+    kb = pd.util.hash_pandas_object(
+        batch.column(key_col).to_pandas(), index=False).to_numpy()
+    return batch.append_column(
+        "__bucket", pa.array((kb % n_buckets).astype(np.int64)))
+
+
+def lag_delta(ds: rd.Dataset, key_col: str, order_cols: list[str],
+              val_col: str, out_cols: list[str], out_col: str = "delta",
+              integer_out: bool = True, n_buckets: int = 32) -> rd.Dataset:
+    """Per-key window lag difference: out_col = val - LAG(val) OVER
+    (PARTITION BY key ORDER BY order_cols); NULL for each key's first row.
+
+    Scale shape: keys hash into ``n_buckets`` groups (ONE shuffle,
+    same scheme as ``sessionize``); each bucket computes every key's
+    lags VECTORIZED in one sort + shift, never one pandas frame per
+    key.  A window needs the key's full ordered run co-located, so the
+    shuffle is inherent — but it moves each row once.
+    """
+    order = [key_col, *order_cols]
+
+    def bucket_fn(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order, kind="stable")
+        prev = g[val_col].shift()
+        prev[~g[key_col].eq(g[key_col].shift())] = np.nan
+        delta = g[val_col] - prev
+        out = g[list(out_cols)].copy()
+        out[out_col] = (pd.array(delta.round(), dtype="Int64")
+                        if integer_out else delta)
+        return out
+
+    return (ds.map_batches(_tag_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           fn_kwargs={"key_col": key_col,
+                                      "n_buckets": n_buckets})
+              .groupby("__bucket")
+              .map_groups(bucket_fn, batch_format="pandas"))
+
+
+def cumsum_by_key(ds: rd.Dataset, key_col: str, order_cols: list[str],
+                  val_col: str, out_cols: list[str],
+                  out_col: str = "running", n_buckets: int = 32) -> rd.Dataset:
+    """Per-key running total: out_col = SUM(val) OVER (PARTITION BY key
+    ORDER BY order_cols ROWS UNBOUNDED PRECEDING).
+
+    Same one-shuffle bucket scheme as ``lag_delta``.  For exact,
+    order-independent equality against a SQL oracle pass an integer
+    val_col (e.g. money scaled to cents) — integer cumsum has no
+    floating-point association noise.
+    """
+    order = [key_col, *order_cols]
+
+    def bucket_fn(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order, kind="stable")
+        out = g[list(out_cols)].copy()
+        out[out_col] = g.groupby(key_col, sort=False)[val_col].cumsum()
+        return out
+
+    return (ds.map_batches(_tag_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           fn_kwargs={"key_col": key_col,
+                                      "n_buckets": n_buckets})
+              .groupby("__bucket")
+              .map_groups(bucket_fn, batch_format="pandas"))
+
+
+def _arrow_schema_of(ds: rd.Dataset) -> pa.Schema:
+    """Arrow schema of a dataset regardless of block format: arrow
+    blocks expose it directly; pandas blocks report numpy dtypes, which
+    convert via ``from_numpy_dtype`` (object columns → string)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        else:
+            try:
+                fields.append((n, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((n, pa.string()))
+    return pa.schema(fields)
+
+
+def semi_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                   right_on: "str|None" = None, anti: bool = False,
+                   n_buckets: int = 64) -> rd.Dataset:
+    """Distributed semi/anti join: left rows whose key does (semi) or
+    does not (anti) appear in right.
+
+    Scale shape: the right side is narrowed to its key column and
+    PADDED to the left schema (null columns cost nothing), both sides
+    hash-bucket by key into one union + ONE shuffle, and each bucket
+    filters its left rows against its right keys vectorized with
+    ``isin``.  Neither side is broadcast or gathered; key skew spreads
+    across buckets because a bucket holds many keys.
+    """
+    right_on = right_on or on
+    arrow_sch = _arrow_schema_of(left)
+    if on not in arrow_sch.names:
+        raise KeyError(f"unknown join column {on!r}")
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        t = _tag_bucket(batch, on, n_buckets)
+        return t.append_column(
+            "__side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        keys = batch.column(right_on)
+        cols, names = [], []
+        for f in arrow_sch:
+            names.append(f.name)
+            if f.name == on:
+                cols.append(keys.cast(f.type))
+            else:
+                cols.append(pa.nulls(len(keys), f.type))
+        t = pa.Table.from_arrays(cols, names=names)
+        t = _tag_bucket(t, on, n_buckets)
+        return t.append_column(
+            "__side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rt = (right.select_columns([right_on])
+               .map_batches(pad_right, batch_format="pyarrow",
+                            zero_copy_batch=True))
+
+    def bucket_fn(group: pd.DataFrame) -> pa.Table:
+        mine = group[group["__side"] == 0]
+        rkeys = group.loc[group["__side"] == 1, on].unique()
+        keep = mine[on].isin(rkeys)
+        if anti:
+            keep = ~keep
+        out = mine.loc[keep, list(arrow_sch.names)]
+        # the padded-null union widened int columns to float64 in
+        # pandas; side-0 rows have no nulls, so cast back losslessly
+        return pa.Table.from_pandas(out, preserve_index=False).cast(arrow_sch)
+
+    return (lt.union(rt)
+              .groupby("__bucket")
+              .map_groups(bucket_fn, batch_format="pandas"))
+
+
+def semi_join(left: rd.Dataset, right: rd.Dataset, on: str,
+              right_on: "str|None" = None, n_buckets: int = 64) -> rd.Dataset:
+    return semi_anti_join(left, right, on, right_on, anti=False,
+                          n_buckets=n_buckets)
+
+
+def anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
+              right_on: "str|None" = None, n_buckets: int = 64) -> rd.Dataset:
+    return semi_anti_join(left, right, on, right_on, anti=True,
+                          n_buckets=n_buckets)
+
+
+def pivot_counts(ds: rd.Dataset, key_col: str, pivot_col: str,
+                 values: list[str], prefix: str = "n_") -> rd.Dataset:
+    """COUNT(*) FILTER pivot: one int64 count column per pivot value.
+
+    Per-batch crosstab partials (one row per key per batch — tiny)
+    pre-combine BEFORE the shuffle; the groupby moves partial count
+    rows only, never raw rows.
+    """
+    out_names = [prefix + v for v in values]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, pivot_col]).to_pandas()
+        ct = pd.crosstab(df[key_col], df[pivot_col])
+        out = {key_col: ct.index.to_numpy()}
+        for v, name in zip(values, out_names):
+            out[name] = (ct[v].to_numpy(dtype=np.int64)
+                         if v in ct.columns
+                         else np.zeros(len(ct), dtype=np.int64))
+        return pa.Table.from_pydict(out)
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return groupby_agg(part, [key_col],
+                       {name: ("sum", name) for name in out_names})
+
+
+@ray.remote
+def _block_key_counts(block, key_col: str):
+    """Per-block run-length key counts of a (key-)sorted block."""
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    keys = block.column(key_col).to_pandas().to_numpy()
+    if not len(keys):
+        return [], []
+    change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(keys)]))
+    return keys[starts].tolist(), (ends - starts).tolist()
+
+
+@ray.remote
+def _block_take(block, idxs: list[int]) -> list:
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    return block.take(pa.array(idxs)).to_pylist()
+
+
+def grouped_percentile_disc(ds: rd.Dataset, key_col: str, val_col: str,
+                            ps: list[float]) -> pa.Table:
+    """Exact per-group discrete percentiles (quantile_disc semantics:
+    the sorted group's element at index ceil(p*n)-1) WITHOUT gathering
+    any group.
+
+    Scale shape: ONE distributed range sort by (key, val) — the only
+    all-to-all — then per-block run-length (key, count) partials
+    (bytes per block, not rows) let the driver place each group's
+    target global row index and fetch exactly those rows with
+    per-block ``take`` tasks.  Works for groups far larger than any
+    single worker's memory, unlike a per-group gather.
+    Returns a small Arrow table (key, p, val) sorted by (key, p).
+    """
+    sorted_ds = (ds.select_columns([key_col, val_col])
+                   .sort([key_col, val_col]).materialize())
+    refs, rows_per_block = [], []
+    for bundle in sorted_ds.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            refs.append(block_ref)
+            rows_per_block.append(meta.num_rows or 0)
+    counts = ray.get([_block_key_counts.remote(r, key_col) for r in refs])
+
+    # global (key -> (start_offset, n)) from in-order block partials
+    offsets: dict = {}
+    totals: dict = {}
+    pos = 0
+    for keys, ns in counts:
+        for k, n in zip(keys, ns):
+            if k not in offsets:
+                offsets[k] = pos
+                totals[k] = 0
+            totals[k] += n
+            pos += n
+
+    block_starts = np.concatenate(([0], np.cumsum(rows_per_block)))[:-1]
+    wanted: dict[int, list[tuple[int, object, float]]] = {}
+    for k in offsets:
+        for p in ps:
+            gi = offsets[k] + max(int(np.ceil(p * totals[k])) - 1, 0)
+            bi = int(np.searchsorted(block_starts, gi, side="right") - 1)
+            wanted.setdefault(bi, []).append((gi - int(block_starts[bi]), k, p))
+
+    fetches = {bi: _block_take.remote(refs[bi], [w[0] for w in ws])
+               for bi, ws in wanted.items()}
+    out = []
+    for bi, ws in wanted.items():
+        rows = ray.get(fetches[bi])
+        for (_, k, p), row in zip(ws, rows):
+            out.append((k, p, row[val_col]))
+    out.sort(key=lambda t: (t[0], t[1]))
+    return pa.Table.from_pydict({
+        key_col: [t[0] for t in out],
+        "p": [t[1] for t in out],
+        val_col: [t[2] for t in out],
+    })

@@ -675,3 +675,115 @@ def test_grouped_topk_ties_and_ascending():
            .reset_index(drop=True))
     assert got[["g", "rid"]].values.tolist() == [[1, 10], [1, 11],
                                                  [2, 13], [2, 14]]
+
+
+def test_lag_delta_matches_duckdb(sample_df):
+    from simplecrawler_ray.ops import lag_delta
+    df = sample_df.assign(rid=np.arange(len(sample_df)),
+                          ts_us=sample_df["ts"].astype("int64"))
+    ds = rd.from_pandas(df).repartition(8)
+    out = (lag_delta(ds, "k", ["ts", "rid"], "ts_us", ["rid", "k"],
+                     out_col="gap_us")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT rid, k, ts_us - LAG(ts_us) OVER
+            (PARTITION BY k ORDER BY ts, rid) AS gap_us
+        FROM t ORDER BY rid""").df()
+    pd.testing.assert_frame_equal(
+        out.astype({"gap_us": "float64"}),
+        exp.astype({"gap_us": "float64"}), check_dtype=False)
+
+
+def test_cumsum_by_key_matches_duckdb(sample_df):
+    from simplecrawler_ray.ops import cumsum_by_key
+    df = sample_df.assign(rid=np.arange(len(sample_df)),
+                          cents=np.rint(sample_df["v"] * 100).astype("int64"))
+    ds = rd.from_pandas(df).repartition(8)
+    out = (cumsum_by_key(ds, "g", ["ts", "rid"], "cents", ["rid", "g"],
+                         out_col="run")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT rid, g, SUM(cents) OVER
+            (PARTITION BY g ORDER BY ts, rid) AS run
+        FROM t ORDER BY rid""").df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_semi_anti_join_matches_pandas(sample_df):
+    from simplecrawler_ray.ops import anti_join, semi_join
+    left = sample_df.assign(rid=np.arange(len(sample_df)))
+    right = pd.DataFrame({"key": [0, 1, 2, 3, 4]})
+    lds = rd.from_pandas(left).repartition(8)
+    rds = rd.from_pandas(right).repartition(3)
+    got_a = (anti_join(lds, rds, "k", right_on="key")
+             .to_pandas().sort_values("rid").reset_index(drop=True))
+    exp_a = left[~left["k"].isin(right["key"])].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_a, exp_a, check_dtype=False)
+    got_s = (semi_join(lds, rds, "k", right_on="key")
+             .to_pandas().sort_values("rid").reset_index(drop=True))
+    exp_s = left[left["k"].isin(right["key"])].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+    # int columns survive the padded union without float widening
+    assert got_a["k"].dtype == left["k"].dtype
+
+
+def test_anti_join_empty_result_keeps_schema(sample_df):
+    from simplecrawler_ray.ops import anti_join
+    left = sample_df.head(100).reset_index(drop=True)
+    right = pd.DataFrame({"key": left["k"].unique()})
+    got = anti_join(rd.from_pandas(left).repartition(4),
+                    rd.from_pandas(right), "k", right_on="key").to_pandas()
+    assert len(got) == 0
+
+
+def test_pivot_counts_matches_duckdb(sample_df):
+    from simplecrawler_ray.ops import pivot_counts
+    ds = rd.from_pandas(sample_df).repartition(8)
+    out = (pivot_counts(ds, "k", "g", ["a", "b", "c"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", sample_df)
+    exp = con.execute("""
+        SELECT k,
+               count(*) FILTER (g = 'a') AS n_a,
+               count(*) FILTER (g = 'b') AS n_b,
+               count(*) FILTER (g = 'c') AS n_c
+        FROM t GROUP BY k ORDER BY k""").df()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_pivot_counts_missing_value_is_zero():
+    from simplecrawler_ray.ops import pivot_counts
+    df = pd.DataFrame({"k": [1, 1, 2], "g": ["a", "a", "b"]})
+    out = (pivot_counts(rd.from_pandas(df), "k", "g", ["a", "b", "z"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["n_z"].tolist() == [0, 0]
+    assert out["n_a"].tolist() == [2, 0]
+
+
+def test_grouped_percentile_disc_matches_duckdb(sample_df):
+    from simplecrawler_ray.ops import grouped_percentile_disc
+    ds = rd.from_pandas(sample_df).repartition(8)
+    got = grouped_percentile_disc(ds, "g", "v", [0.1, 0.5, 0.99]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", sample_df)
+    parts = " UNION ALL ".join(
+        f"SELECT g, {p} AS p, quantile_disc(v, {p}) AS v "
+        f"FROM t GROUP BY g" for p in [0.1, 0.5, 0.99])
+    exp = con.execute(f"SELECT * FROM ({parts}) ORDER BY g, p").df()
+    pd.testing.assert_frame_equal(got.astype({"p": "float64"}),
+                                  exp.astype({"p": "float64"}),
+                                  check_dtype=False)
+
+
+def test_grouped_percentile_disc_exact_edges():
+    # p=1.0 is the max; p→0 picks the first element (index ceil(p*n)-1)
+    from simplecrawler_ray.ops import grouped_percentile_disc
+    df = pd.DataFrame({"g": ["x"] * 4, "v": [10.0, 20.0, 30.0, 40.0]})
+    got = grouped_percentile_disc(rd.from_pandas(df), "g", "v",
+                                  [0.01, 0.5, 1.0]).to_pandas()
+    assert got["v"].tolist() == [10.0, 20.0, 40.0]
