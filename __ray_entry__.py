@@ -865,6 +865,17 @@ def _q_docs_stratified_sample(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _q_docs_top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 word bigrams: per-batch Counter partials
+    (word-count shape — the shuffle moves counts, not tokens), grouped
+    sum, per-block top-k merge."""
+    from simplecrawler_ray.functions.text import top_ngrams
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    t = top_ngrams(docs, k=20, n=2)
+    return t.to_pandas().reset_index(drop=True)
+
+
 def _q_events_approx_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user_id): 16 KiB register
     partials per block, driver max-merge — no shuffle.  No SQL oracle
@@ -927,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lineitem_quantiles": _q_lineitem_quantiles,
         "q_events_pivot": _q_events_pivot,
         "q_docs_stratified_sample": _q_docs_stratified_sample,
+        "q_docs_top_bigrams": _q_docs_top_bigrams,
         "q_events_approx_users": _q_events_approx_users,
     }
 
@@ -1354,6 +1366,16 @@ def oracle_sql() -> dict[str, str]:
                             doc_id) AS rn
               FROM documents)
             WHERE rn <= 50 ORDER BY doc_id
+        """,
+        "q_docs_top_bigrams": """
+            WITH t AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+                       FROM documents),
+            u AS (SELECT doc_id, unnest(toks) AS tok,
+                         generate_subscripts(toks, 1) AS pos FROM t)
+            SELECT a.tok || ' ' || b.tok AS ngram, count(*) AS cnt
+            FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20
         """,
         "q_orders_topk_per_cust": """
             SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS o_totalprice

@@ -192,3 +192,41 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         out[idx] = h
     fps = (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+
+
+_NGRAM_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def top_ngrams(ds, k: int = 20, n: int = 2, text_col: str = "text"):
+    """Corpus-wide top-k word n-grams: the classic word-count shape.
+
+    Per-batch partial: ONE Counter over the whole batch (tokenize with
+    an ASCII class identical in Python re and DuckDB RE2), emitted as a
+    tiny (ngram, cnt) table — so the shuffle moves per-batch partial
+    counts, never tokens.  A grouped sum then a per-block top-k merge
+    (``ops.topk``) bound the final gather to k rows per block.
+    Ties break (cnt DESC, ngram ASC).  Returns a pa.Table.
+    """
+    from collections import Counter
+
+    from simplecrawler_ray.ops import groupby_agg, topk
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column(text_col).to_pylist():
+            toks = _NGRAM_TOKEN_RE.findall((text or "").lower())
+            c.update(" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1))
+        if not c:
+            return pa.Table.from_pydict(
+                {"ngram": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())})
+        return pa.Table.from_pydict(
+            {"ngram": list(c.keys()),
+             "cnt": pa.array(list(c.values()), pa.int64())})
+
+    summed = groupby_agg(
+        ds.select_columns([text_col]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["ngram"], {"cnt": ("sum", "cnt")})
+    return topk(summed, [("cnt", True), ("ngram", False)], k)

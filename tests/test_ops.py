@@ -787,3 +787,20 @@ def test_grouped_percentile_disc_exact_edges():
     got = grouped_percentile_disc(rd.from_pandas(df), "g", "v",
                                   [0.01, 0.5, 1.0]).to_pandas()
     assert got["v"].tolist() == [10.0, 20.0, 40.0]
+
+
+def test_top_ngrams_matches_bruteforce():
+    from collections import Counter
+    from simplecrawler_ray.functions.text import top_ngrams
+    rng = np.random.default_rng(5)
+    vocab = ["cat", "dog", "sat", "mat", "ran", "the", "a"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 30)))
+             for _ in range(400)] + ["", "  ", "!!!"]
+    got = top_ngrams(rd.from_items([{"text": t} for t in texts])
+                     .repartition(8), k=10, n=2).to_pandas()
+    c = Counter()
+    for t in texts:
+        toks = t.lower().split()
+        c.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+    exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["ngram"], got["cnt"])) == exp
