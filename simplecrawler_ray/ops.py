@@ -606,6 +606,9 @@ def semi_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
     filters its left rows against its right keys vectorized with
     ``isin``.  Neither side is broadcast or gathered; key skew spreads
     across buckets because a bucket holds many keys.
+
+    Null keys follow pandas ``isin`` (NaN matches NaN), not SQL's
+    NULL-never-equals — pre-filter nulls for strict SQL parity.
     """
     right_on = right_on or on
     arrow_sch = _arrow_schema_of(left)
@@ -671,7 +674,8 @@ def pivot_counts(ds: rd.Dataset, key_col: str, pivot_col: str,
 
     Per-batch crosstab partials (one row per key per batch — tiny)
     pre-combine BEFORE the shuffle; the groupby moves partial count
-    rows only, never raw rows.
+    rows only, never raw rows.  Null keys are dropped (pandas crosstab
+    semantics), unlike SQL GROUP BY which keeps a NULL group.
     """
     out_names = [prefix + v for v in values]
 
@@ -726,7 +730,13 @@ def grouped_percentile_disc(ds: rd.Dataset, key_col: str, val_col: str,
     single worker's memory, unlike a per-group gather.
     Returns a small Arrow table (key, p, val) sorted by (key, p).
     """
+    def drop_null_vals(batch: pa.Table) -> pa.Table:
+        # SQL aggregate semantics: NULL values don't participate
+        return batch.filter(pc.is_valid(batch.column(val_col)))
+
     sorted_ds = (ds.select_columns([key_col, val_col])
+                   .map_batches(drop_null_vals, batch_format="pyarrow",
+                                zero_copy_batch=True)
                    .sort([key_col, val_col]).materialize())
     refs, rows_per_block = [], []
     for bundle in sorted_ds.iter_internal_ref_bundles():

@@ -804,3 +804,13 @@ def test_top_ngrams_matches_bruteforce():
         c.update(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
     exp = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert list(zip(got["ngram"], got["cnt"])) == exp
+
+
+def test_grouped_percentile_disc_ignores_nulls():
+    from simplecrawler_ray.ops import grouped_percentile_disc
+    df = pd.DataFrame({"g": ["x"] * 6,
+                       "v": [10.0, None, 20.0, None, 30.0, 40.0]})
+    got = grouped_percentile_disc(rd.from_pandas(df), "g", "v",
+                                  [0.5, 1.0]).to_pandas()
+    # nulls excluded -> n=4; quantile_disc(0.5)=20, (1.0)=40
+    assert got["v"].tolist() == [20.0, 40.0]
