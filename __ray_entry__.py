@@ -865,6 +865,27 @@ def _q_docs_stratified_sample(sf_dir: str):
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def _q_events_value_tiers(sf_dir: str):
+    """Range join (v >= lo AND v < hi) against a broadcast tier table —
+    one vectorized searchsorted per batch, NO shuffle — then grouped
+    exact-cents sums per tier."""
+    from simplecrawler_ray.ops import groupby_agg, range_join_broadcast
+
+    tiers = pd.DataFrame({
+        "lo": [0.0, 10.0, 50.0, 200.0],
+        "hi": [10.0, 50.0, 200.0, 1e9],
+        "tier": ["nano", "small", "medium", "large"],
+    })
+    ev = _read(sf_dir, "events", columns=["value"])
+    tiered = range_join_broadcast(ev, "value", tiers)
+    out = groupby_agg(tiered, ["tier"], {
+        "n": ("count", "value"),
+        "total_value": ("sum", "value", 2),
+    }).to_pandas()
+    out["total_value"] = out["total_value"].round(6)
+    return out.sort_values("tier").reset_index(drop=True)
+
+
 def _q_docs_top_bigrams(sf_dir: str):
     """Corpus-wide top-20 word bigrams: per-batch Counter partials
     (word-count shape — the shuffle moves counts, not tokens), grouped
@@ -939,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_pivot": _q_events_pivot,
         "q_docs_stratified_sample": _q_docs_stratified_sample,
         "q_docs_top_bigrams": _q_docs_top_bigrams,
+        "q_events_value_tiers": _q_events_value_tiers,
         "q_events_approx_users": _q_events_approx_users,
     }
 
@@ -1366,6 +1388,17 @@ def oracle_sql() -> dict[str, str]:
                             doc_id) AS rn
               FROM documents)
             WHERE rn <= 50 ORDER BY doc_id
+        """,
+        "q_events_value_tiers": """
+            WITH tiers(lo, hi, tier) AS (VALUES
+                (0.0, 10.0, 'nano'), (10.0, 50.0, 'small'),
+                (50.0, 200.0, 'medium'), (200.0, 1e9, 'large'))
+            SELECT tier, COUNT(value) AS n,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+                       AS total_value
+            FROM events e JOIN tiers t
+              ON e.value >= t.lo AND e.value < t.hi
+            GROUP BY tier ORDER BY tier
         """,
         "q_docs_top_bigrams": """
             WITH t AS (SELECT doc_id,

@@ -778,3 +778,45 @@ def grouped_percentile_disc(ds: rd.Dataset, key_col: str, val_col: str,
         "p": [t[1] for t in out],
         val_col: [t[2] for t in out],
     })
+
+
+def range_join_broadcast(ds: rd.Dataset, val_col: str,
+                         bins: "pd.DataFrame", lo_col: str = "lo",
+                         hi_col: str = "hi",
+                         how: str = "inner") -> rd.Dataset:
+    """Range join against a small table of NON-OVERLAPPING, sorted
+    half-open intervals [lo, hi): each row gains the columns of its
+    covering interval (SQL ``JOIN bins ON v >= lo AND v < hi``).
+
+    Scale shape: the bin table is broadcast ONCE via ``ray.put`` and
+    matched per batch with one vectorized ``np.searchsorted`` — no
+    shuffle, no per-row loop.  ``how="inner"`` drops unmatched rows;
+    ``"left"`` keeps them with null bin columns.  Overlapping
+    intervals need a different operator (each row could match many).
+    """
+    b = bins.sort_values(lo_col).reset_index(drop=True)
+    los = b[lo_col].to_numpy()
+    his = b[hi_col].to_numpy()
+    if (los[1:] < his[:-1]).any():
+        raise ValueError("range_join_broadcast requires non-overlapping intervals")
+    payload_cols = [c for c in b.columns if c not in (lo_col, hi_col)]
+    bins_ref = ray.put((los, his, {c: b[c].to_numpy() for c in payload_cols}))
+
+    def match(batch: pa.Table) -> pa.Table:
+        blos, bhis, payload = ray.get(bins_ref)
+        v = batch.column(val_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(blos, v, side="right") - 1
+        ok = (idx >= 0) & (v < bhis[np.clip(idx, 0, None)])
+        if how == "inner":
+            batch = batch.filter(pa.array(ok))
+            sel = idx[ok]
+            for c in payload_cols:
+                batch = batch.append_column(c, pa.array(payload[c][sel]))
+            return batch
+        safe = np.where(ok, idx, 0)
+        for c in payload_cols:
+            arr = pa.array(payload[c][safe], mask=~ok)
+            batch = batch.append_column(c, arr)
+        return batch
+
+    return ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)

@@ -814,3 +814,40 @@ def test_grouped_percentile_disc_ignores_nulls():
                                   [0.5, 1.0]).to_pandas()
     # nulls excluded -> n=4; quantile_disc(0.5)=20, (1.0)=40
     assert got["v"].tolist() == [20.0, 40.0]
+
+
+def test_range_join_broadcast_matches_duckdb(sample_df):
+    from simplecrawler_ray.ops import range_join_broadcast
+    bins = pd.DataFrame({"lo": [0.0, 80.0, 110.0],
+                         "hi": [80.0, 110.0, 140.0],
+                         "tier": ["low", "mid", "high"]})
+    df = sample_df.assign(rid=np.arange(len(sample_df)))
+    ds = rd.from_pandas(df).repartition(8)
+    got = (range_join_broadcast(ds, "v", bins)
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    con.register("bins", bins)
+    exp = con.execute("""
+        SELECT t.*, b.tier FROM t JOIN bins b
+        ON t.v >= b.lo AND t.v < b.hi ORDER BY rid""").df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_range_join_broadcast_left_nulls():
+    from simplecrawler_ray.ops import range_join_broadcast
+    bins = pd.DataFrame({"lo": [0.0], "hi": [10.0], "tier": ["in"]})
+    df = pd.DataFrame({"v": [-5.0, 5.0, 15.0]})
+    got = (range_join_broadcast(rd.from_pandas(df), "v", bins, how="left")
+           .to_pandas())
+    assert got["tier"].tolist() == [None, "in", None]
+
+
+def test_range_join_broadcast_rejects_overlap():
+    from simplecrawler_ray.ops import range_join_broadcast
+    bins = pd.DataFrame({"lo": [0.0, 5.0], "hi": [6.0, 10.0],
+                         "tier": ["a", "b"]})
+    df = pd.DataFrame({"v": [1.0]})
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        range_join_broadcast(rd.from_pandas(df), "v", bins)
