@@ -1206,6 +1206,7 @@ class CrawlEngine:
 
         self._count("crawlstart")
         self._seed()
+        self._sink_dir = sink_dir
         if self._web_ref is None:
             self._web_ref = ray.put(self.web)
         cfg_ref = ray.put(self.cfg)
@@ -1381,8 +1382,28 @@ class CrawlEngine:
                        "metrics": self.metrics,
                        "seen_shards": self.cfg["seen_shards"],
                        "seen_backend": self.cfg["seen_backend"],
-                       "host": self.cfg["host"]}, f)
+                       "host": self.cfg["host"],
+                       "lineage": self._lineage_manifest()}, f)
         os.replace(tmp, rdir)
+
+    def _lineage_manifest(self) -> "dict | None":
+        """Per-partition lineage for this round's sink output: the
+        part files the round produced and their row counts (parquet
+        FOOTER reads only — no row data touches the driver).  A
+        resumed or auditing run can tell exactly which partitions are
+        complete without scanning them."""
+        sink_dir = getattr(self, "_sink_dir", None)
+        if not sink_dir:
+            return None
+        rdn = f"round={self.round_no:05d}"
+        rdir = os.path.join(sink_dir, rdn)
+        if not os.path.isdir(rdir):
+            return {rdn: []}
+        parts = [{"file": fn,
+                  "rows": pq.read_metadata(os.path.join(rdir, fn)).num_rows}
+                 for fn in sorted(os.listdir(rdir))
+                 if fn.endswith(".parquet")]
+        return {rdn: parts}
 
     @classmethod
     def resume_turbo(cls, web, initial_url: str, checkpoint_dir: str,

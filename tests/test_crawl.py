@@ -973,3 +973,36 @@ def test_turbo_resume_backend_mismatch_falls_back_to_replay(tmp_path):
     t = rd.read_parquet(sink).to_pandas()
     assert t["url"].nunique() == 30
     eng2.seen.shutdown()
+
+
+def test_turbo_checkpoint_records_lineage(tmp_path):
+    import glob
+    import json as _json
+
+    from simplecrawler_ray.pipelines.crawl import CrawlEngine
+    from simplecrawler_ray.sources.web import ScaleWeb
+
+    web = ScaleWeb(n_pages=30)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    e = CrawlEngine(web, web.url_of(0), seen_shards=2,
+                    filter_by_domain=False, checkpoint_dir=ckpt)
+    e.run_turbo(sink, max_rounds=4)
+    e.seen.shutdown()
+    states = sorted(glob.glob(ckpt + "/state-round=*"))
+    assert states
+    total_lineage_rows = 0
+    for st in states:
+        meta = _json.load(open(st + "/metrics.json"))
+        lin = meta["lineage"]
+        assert lin is not None and len(lin) == 1
+        (rdn, parts), = lin.items()
+        for p in parts:
+            # every manifest entry matches the real file's row count
+            import pyarrow.parquet as _pq
+            f = f"{sink}/{rdn}/{p['file']}"
+            assert _pq.read_metadata(f).num_rows == p["rows"]
+            total_lineage_rows += p["rows"]
+    sunk = sum(_pq.read_metadata(f).num_rows
+               for f in glob.glob(sink + "/round=*/*.parquet"))
+    assert total_lineage_rows == sunk > 0
