@@ -897,6 +897,17 @@ def _q_docs_top_bigrams(sf_dir: str):
     return t.to_pandas().reset_index(drop=True)
 
 
+def _q_events_heavy_users(sf_dir: str):
+    """Count-Min heavy hitters: top-10 most frequent user_ids in fixed
+    driver memory (256 KiB sketch + candidate union per block) —
+    estimates never undercount.  No SQL oracle (approximate); pytest
+    pins top-k recovery + one-sided error on zipf data."""
+    from simplecrawler_ray.functions.sketch import heavy_hitters
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    return heavy_hitters(ev, "user_id", k=10)
+
+
 def _q_events_approx_users(sf_dir: str):
     """HyperLogLog approximate COUNT(DISTINCT user_id): 16 KiB register
     partials per block, driver max-merge — no shuffle.  No SQL oracle
@@ -962,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_docs_top_bigrams": _q_docs_top_bigrams,
         "q_events_value_tiers": _q_events_value_tiers,
         "q_events_approx_users": _q_events_approx_users,
+        "q_events_heavy_users": _q_events_heavy_users,
     }
 
 

@@ -96,3 +96,87 @@ def approx_ndistinct(ds: rd.Dataset, col: str, p: int = 14) -> float:
     blobs = [np.frombuffer(r["regs"], dtype=np.uint8)
              for r in parts.take_all()]
     return hll_estimate(hll_merge(blobs))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: approximate per-key counts / heavy hitters in fixed
+# memory.  At 10^10 URLs the exact "top hosts" groupby shuffles 10^7+
+# keys; a d x w int64 matrix (default 4 x 8192 = 256 KiB) per partial
+# merges by elementwise ADD and never under-counts (one-sided error
+# <= 2N/w with prob 1-2^-d).
+
+_CM_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                     dtype=np.uint64)
+
+
+def cm_partial(values: "pd.Series|np.ndarray", weights: "np.ndarray|None" = None,
+               w: int = 8192, d: int = 4) -> np.ndarray:
+    """One batch's Count-Min matrix (int64[d, w]) — mergeable by +."""
+    h = pd.util.hash_pandas_object(pd.Series(values), index=False).to_numpy()
+    wt = (np.ones(len(h), dtype=np.int64) if weights is None
+          else np.asarray(weights, dtype=np.int64))
+    cm = np.zeros((d, w), dtype=np.int64)
+    for r in range(d):
+        idx = (_mix64(h ^ _CM_SEEDS[r]) % np.uint64(w)).astype(np.int64)
+        np.add.at(cm[r], idx, wt)
+    return cm
+
+
+def cm_merge(parts: "list[np.ndarray]") -> np.ndarray:
+    out = parts[0].copy()
+    for q in parts[1:]:
+        out += q
+    return out
+
+
+def cm_query(cm: np.ndarray, values: "pd.Series|np.ndarray") -> np.ndarray:
+    """Upper-bound count estimates (never below the true count)."""
+    d, w = cm.shape
+    h = pd.util.hash_pandas_object(pd.Series(values), index=False).to_numpy()
+    est = np.full(len(h), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        idx = (_mix64(h ^ _CM_SEEDS[r]) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, cm[r, idx])
+    return est
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 10,
+                  candidates_per_block: int = 64,
+                  w: int = 8192, d: int = 4) -> "pd.DataFrame":
+    """Approximate top-k most frequent values in FIXED driver memory.
+
+    Each block contributes a 256 KiB Count-Min partial plus its local
+    top-``candidates_per_block`` values; the driver merges the
+    sketches (elementwise add) and ranks the candidate union by
+    CM-estimated count.  Estimates never undercount; a value in the
+    true top-k whose count exceeds one block's local cut is always a
+    candidate.  Unlike an exact groupby-count, state is O(w*d +
+    candidates), independent of key cardinality — the 10^10-URL
+    "top hosts" shape.  Returns (value, est) sorted desc, est desc /
+    value asc ties.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(col).to_pandas()
+        cm = cm_partial(s, w=w, d=d)
+        # candidates keep their NATIVE dtype: cm_query must hash the
+        # same values cm_partial hashed (str-casting int keys would
+        # hash to different buckets and zero every estimate)
+        top = s.value_counts().head(candidates_per_block)
+        return pa.Table.from_pydict({
+            "cm": [cm.tobytes()],
+            "cands": [top.index.tolist()],
+        })
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    if not parts:
+        return pd.DataFrame({col: [], "est": []})
+    cm = cm_merge([np.frombuffer(p["cm"], dtype=np.int64).reshape(d, w)
+                   for p in parts])
+    cands = sorted({c for p in parts for c in p["cands"]})
+    est = cm_query(cm, pd.Series(cands))
+    out = (pd.DataFrame({col: cands, "est": est})
+           .sort_values(["est", col], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return out

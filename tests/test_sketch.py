@@ -36,3 +36,50 @@ def test_approx_ndistinct_dataset(ray_session):
     n_exact = df["u"].nunique()
     est = approx_ndistinct(rd.from_pandas(df).repartition(16), "u")
     assert abs(est - n_exact) / n_exact < 0.02
+
+
+def test_cm_never_undercounts_and_is_tight():
+    from simplecrawler_ray.functions.sketch import (cm_merge, cm_partial,
+                                                    cm_query)
+    rng = np.random.default_rng(7)
+    # zipf-ish: few hot keys + long tail
+    vals = np.concatenate([np.repeat(np.arange(10), 1000),
+                           rng.integers(100, 50_000, 30_000)])
+    rng.shuffle(vals)
+    parts = [cm_partial(pd.Series(c)) for c in np.array_split(vals, 9)]
+    cm = cm_merge(parts)
+    truth = pd.Series(vals).value_counts()
+    hot = truth.index[:10]
+    est = cm_query(cm, pd.Series(hot))
+    true = truth.loc[hot].to_numpy()
+    assert (est >= true).all()                      # one-sided error
+    assert (est - true <= 2 * len(vals) / 8192 * 4).all()  # tight-ish
+
+
+def test_heavy_hitters_finds_true_top(ray_session):
+    from simplecrawler_ray.functions.sketch import heavy_hitters
+    rng = np.random.default_rng(11)
+    hot = np.repeat([f"h{i}" for i in range(5)], [5000, 4000, 3000, 2000, 1000])
+    tail = rng.integers(0, 100_000, 40_000).astype(str)
+    vals = np.concatenate([hot, tail])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"u": vals})
+    got = heavy_hitters(rd.from_pandas(df).repartition(16), "u", k=5)
+    assert got["u"].tolist() == ["h0", "h1", "h2", "h3", "h4"]
+    true = pd.Series(vals).value_counts()
+    # estimates upper-bound the true counts
+    assert (got.set_index("u")["est"] >= true.loc[got["u"]].to_numpy()).all()
+
+
+def test_heavy_hitters_int_keys(ray_session):
+    # int keys must hash identically in partial and query (the str-cast
+    # regression zeroed every estimate)
+    from simplecrawler_ray.functions.sketch import heavy_hitters
+    rng = np.random.default_rng(2)
+    vals = np.concatenate([np.repeat([7, 11, 13], [900, 700, 500]),
+                           rng.integers(1000, 90_000, 20_000)])
+    rng.shuffle(vals)
+    got = heavy_hitters(rd.from_pandas(pd.DataFrame({"u": vals}))
+                        .repartition(8), "u", k=3)
+    assert got["u"].tolist() == [7, 11, 13]
+    assert (got["est"].to_numpy() >= np.array([900, 700, 500])).all()
