@@ -851,3 +851,51 @@ def test_range_join_broadcast_rejects_overlap():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         range_join_broadcast(rd.from_pandas(df), "v", bins)
+
+
+def test_new_ops_layout_independent():
+    """Results must not depend on block layout (the distributed
+    invariant): every new operator gives identical output at 2 vs 13
+    partitions over randomized frames."""
+    from simplecrawler_ray.ops import (anti_join, cumsum_by_key,
+                                       grouped_percentile_disc, lag_delta,
+                                       pivot_counts, range_join_broadcast)
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = 2000
+        df = pd.DataFrame({
+            "k": rng.integers(0, 20, n),
+            "g": rng.choice(["a", "b", "c", "d"], n),
+            "v": rng.normal(50, 30, n).round(2),
+            "rid": np.arange(n),
+        })
+        right = pd.DataFrame({"key": rng.integers(0, 20, 7)})
+        bins = pd.DataFrame({"lo": [-1e9, 0.0, 50.0],
+                             "hi": [0.0, 50.0, 1e9],
+                             "tier": ["neg", "lo", "hi"]})
+
+        def run(parts):
+            ds = rd.from_pandas(df).repartition(parts)
+            rds = rd.from_pandas(right).repartition(min(parts, 3))
+            return {
+                "lag": lag_delta(ds, "k", ["v", "rid"], "rid",
+                                 ["rid", "k"], out_col="d")
+                       .to_pandas().sort_values("rid").reset_index(drop=True),
+                "cum": cumsum_by_key(ds, "g", ["v", "rid"], "rid",
+                                     ["rid"], out_col="c")
+                       .to_pandas().sort_values("rid").reset_index(drop=True),
+                "anti": anti_join(ds, rds, "k", right_on="key")
+                        .to_pandas().sort_values("rid").reset_index(drop=True),
+                "pivot": pivot_counts(ds, "k", "g", ["a", "b", "c", "d"])
+                         .to_pandas().sort_values("k").reset_index(drop=True),
+                "pctl": grouped_percentile_disc(ds, "g", "v",
+                                                [0.3, 0.77]).to_pandas(),
+                "range": range_join_broadcast(ds, "v", bins)
+                         .to_pandas().sort_values("rid").reset_index(drop=True),
+            }
+
+        a, b = run(2), run(13)
+        for name in a:
+            pd.testing.assert_frame_equal(a[name], b[name],
+                                          check_dtype=False), name
