@@ -1278,6 +1278,9 @@ class CrawlEngine:
                     # generator; survives worker reap, round-3 advice #1).
                     # Only the thin (counters, meta) yield is ray.get here.
                     out = ds.materialize()
+                    # observability: keep the last round's execution
+                    # stats (string; cheap) for perf audits
+                    self.last_round_stats = out.stats()
                     block_refs = [ref for bundle in
                                   out.iter_internal_ref_bundles()
                                   for ref, _meta in bundle.blocks]
