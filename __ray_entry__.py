@@ -897,6 +897,17 @@ def _q_docs_top_bigrams(sf_dir: str):
     return t.to_pandas().reset_index(drop=True)
 
 
+def _q_docs_sample20(sf_dir: str):
+    """Deterministic 20% Bernoulli sample (md5-threshold filter): pure
+    per-batch filter, zero shuffle, identical keep-set across runs,
+    shards, and resumes."""
+    from simplecrawler_ray.functions.packing import sample_fraction
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    out = sample_fraction(docs, 0.2, key_col="doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_events_heavy_users(sf_dir: str):
     """Count-Min heavy hitters: top-10 most frequent user_ids in fixed
     driver memory (256 KiB sketch + candidate union per block) —
@@ -974,6 +985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_value_tiers": _q_events_value_tiers,
         "q_events_approx_users": _q_events_approx_users,
         "q_events_heavy_users": _q_events_heavy_users,
+        "q_docs_sample20": _q_docs_sample20,
     }
 
 
@@ -1411,6 +1423,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN tiers t
               ON e.value >= t.lo AND e.value < t.hi
             GROUP BY tier ORDER BY tier
+        """,
+        "q_docs_sample20": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE md5_number_lower('0:' || CAST(doc_id AS VARCHAR))
+                  % 1000000 < 200000
+            ORDER BY doc_id
         """,
         "q_docs_top_bigrams": """
             WITH t AS (SELECT doc_id,

@@ -89,3 +89,31 @@ def add_split_column(ds: rd.Dataset, key_col: str = "doc_id",
         return batch.append_column(out_col, pa.array(split.tolist(), pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_fraction(ds: rd.Dataset, frac: float, key_col: str = "doc_id",
+                    seed: int = 0) -> rd.Dataset:
+    """Deterministic Bernoulli sample: keep rows whose
+    ``md5_low64(seed:key) % 10^6 < frac * 10^6``.
+
+    Pure per-batch filter — NO shuffle, no RNG state; the same key is
+    kept or dropped identically across runs, shards and re-orderings
+    (and in a resumed pipeline), unlike ``Dataset.random_sample``.
+    Same md5-low64 trick as ``add_split_column``: DuckDB's
+    ``md5_number_lower`` computes the identical value, so the sample
+    is SQL-oracle-checkable.
+    """
+    import hashlib
+
+    scale = 1_000_000
+    cut = int(frac * scale)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        buckets = np.fromiter(
+            (int.from_bytes(hashlib.md5(f"{seed}:{k}".encode()).digest()[8:],
+                            "little") % scale for k in keys),
+            dtype=np.int64, count=len(keys))
+        return batch.filter(pa.array(buckets < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

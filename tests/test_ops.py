@@ -899,3 +899,17 @@ def test_new_ops_layout_independent():
         for name in a:
             pd.testing.assert_frame_equal(a[name], b[name],
                                           check_dtype=False), name
+
+
+def test_sample_fraction_deterministic_and_unbiased():
+    from simplecrawler_ray.functions.packing import sample_fraction
+    df = pd.DataFrame({"doc_id": np.arange(20_000), "x": 1})
+    a = (sample_fraction(rd.from_pandas(df).repartition(4), 0.3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (sample_fraction(rd.from_pandas(df.iloc[::-1]).repartition(11), 0.3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)          # layout/order independent
+    assert abs(len(a) / len(df) - 0.3) < 0.02    # close to the fraction
+    # different seed -> a different (deterministic) subset
+    c = sample_fraction(rd.from_pandas(df), 0.3, seed=1).to_pandas()
+    assert set(c["doc_id"]) != set(a["doc_id"])
