@@ -114,8 +114,12 @@ def eval_condition(cond: Callable, queue_item: dict,
             # a callback-style condition whose second parameter is NOT
             # named done/callback/cb lands here and tries to call the
             # referrer dict (or None) — surface the rename requirement
-            # instead of a bare "'dict' object is not callable"
-            if "not callable" in str(e):
+            # instead of a bare "'dict' object is not callable".  Only
+            # hint when the non-callable TYPE is the referrer's own
+            # type; a TypeError from calling some unrelated object in
+            # the condition's body keeps its original message
+            ref_type = type(referrer_item).__name__
+            if f"'{ref_type}' object is not callable" in str(e):
                 raise ConditionError(
                     f"condition {getattr(cond, '__name__', cond)!r} raised "
                     f"{e!r}; if its second parameter is a completion "

@@ -294,6 +294,11 @@ def group_star_edges(ds: rd.Dataset, key_cols: list[str],
     inside each bucket, so hot keys cost O(group) not O(group^2).
     """
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        # null keys define no equivalence (SQL NULL-never-equals):
+        # pandas groupby would drop them but transform('min') then
+        # yields NaN, which .astype(int64) turns into INT64_MIN —
+        # cross-linking every null-keyed doc into one garbage cluster
+        df = df.dropna(subset=key_cols)
         h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
         out = df[[id_col] + key_cols].copy()
         out["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)

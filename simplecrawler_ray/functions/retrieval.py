@@ -70,7 +70,12 @@ def bm25_topk(ds: rd.Dataset, terms: list[str], k: int = 10,
     fetchcomplete consumers, README.md:214-260 — scoring fetched
     bodies; the reference itself has no retrieval operator).
     """
-    terms = [t.lower() for t in terms]
+    # multiset query semantics: a repeated query term weights its
+    # contribution by its query-side count (qtf) — the tf table itself
+    # needs each distinct term only once
+    lowered = [t.lower() for t in terms]
+    terms = list(dict.fromkeys(lowered))
+    qtf = np.array([lowered.count(t) for t in terms], dtype=np.float64)
     tf_ds = ds.map_batches(_tf_table_udf(terms, id_col, text_col),
                            batch_format="pyarrow").materialize()
 
@@ -104,7 +109,7 @@ def bm25_topk(ds: rd.Dataset, terms: list[str], k: int = 10,
         any_tf = np.zeros(len(dl), dtype=bool)
         for j in range(len(terms)):
             tf = batch.column(f"tf_{j}").to_numpy().astype(np.float64)
-            score += idf[j] * tf * (k1 + 1.0) / (tf + denom_dl)
+            score += qtf[j] * idf[j] * tf * (k1 + 1.0) / (tf + denom_dl)
             any_tf |= tf > 0
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)[any_tf]
         score = np.round(score[any_tf], decimals)

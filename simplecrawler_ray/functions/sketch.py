@@ -28,15 +28,9 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer — decorrelates pandas' 64-bit hash."""
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x ^= x >> np.uint64(30)
-    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x ^= x >> np.uint64(27)
-    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    x ^= x >> np.uint64(31)
-    return x
+# splitmix64 finalizer — decorrelates pandas' 64-bit hash; one shared
+# implementation with the graph operators (same constants, same mix)
+from .graph import _mix64  # noqa: E402
 
 
 def hll_partial(values: "pd.Series|np.ndarray", p: int = 14) -> np.ndarray:
@@ -95,6 +89,8 @@ def approx_ndistinct(ds: rd.Dataset, col: str, p: int = 14) -> float:
         partial, batch_format="pyarrow", zero_copy_batch=True)
     blobs = [np.frombuffer(r["regs"], dtype=np.uint8)
              for r in parts.take_all()]
+    if not blobs:
+        return 0.0
     return hll_estimate(hll_merge(blobs))
 
 

@@ -441,12 +441,6 @@ def sessionize(ds: rd.Dataset, key_col: str, ts_col: str, gap_s: int = 1800,
     ``tumbling_window`` there is no mergeable partial, so the shuffle
     is inherent.
     """
-    def tag(batch: pa.Table) -> pa.Table:
-        kb = pd.util.hash_pandas_object(
-            batch.column(key_col).to_pandas(), index=False).to_numpy()
-        return batch.append_column(
-            "__bucket", pa.array((kb % n_buckets).astype(np.int64)))
-
     order = [key_col, ts_col] + ([tiebreak] if tiebreak else [])
 
     def bucket_sessions(group: pd.DataFrame) -> pd.DataFrame:
@@ -463,8 +457,10 @@ def sessionize(ds: rd.Dataset, key_col: str, ts_col: str, gap_s: int = 1800,
                 .reset_index())
         return out
 
-    return (ds.map_batches(tag, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return (ds.map_batches(_tag_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           fn_kwargs={"key_col": key_col,
+                                      "n_buckets": n_buckets})
               .groupby("__bucket")
               .map_groups(bucket_sessions, batch_format="pandas"))
 
@@ -609,6 +605,11 @@ def semi_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
     Null keys follow pandas ``isin`` (NaN matches NaN), not SQL's
     NULL-never-equals — pre-filter nulls for strict SQL parity.
+
+    Alternative: ``hash_join(..., how="semi"/"anti")`` reaches Ray's
+    native left_semi/left_anti hash-shuffle operator (aggregator
+    actors).  This task-only variant exists for pipelines that must
+    not reserve actor slots and for ``right_on`` key renames.
     """
     right_on = right_on or on
     arrow_sch = _arrow_schema_of(left)

@@ -188,6 +188,10 @@ def _patch_row(t: pa.Table, idx: int, flat: dict) -> tuple[pa.Table, dict]:
         row_t = row_t.set_column(
             fi, col, pa.array([val], t.schema.field(col).type))
     out = pa.concat_tables([t.slice(0, idx), row_t, t.slice(idx + 1)])
+    # each patch adds ~2 chunk boundaries; bound the fragmentation so
+    # N successive updates stay O(1) chunks amortized instead of O(N)
+    if out.column(0).num_chunks > 16:
+        out = out.combine_chunks()
     row = {c: row_t.column(c)[0].as_py() for c in row_t.column_names}
     return out, row
 

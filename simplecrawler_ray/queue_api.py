@@ -61,11 +61,6 @@ def _update_block_at(block, local_idx: int, flat: dict):
 
 
 @ray.remote
-def _block_is_arrow(block) -> bool:
-    return isinstance(block, pa.Table)
-
-
-@ray.remote
 def _block_to_arrow(block):
     import pandas as pd
 
@@ -239,13 +234,14 @@ class FrontierQueue:
         # from_arrow_refs requires Arrow blocks, but a pandas-backed
         # queue (e.g. built via from_pandas) passes its unmodified
         # blocks through untouched — convert those worker-side first
-        # (round-3 advice #6); the is-arrow probe returns one bool per
-        # block, no rows transit the driver
-        kinds = ray.get([_block_is_arrow.remote(r)
-                         for i, r in enumerate(refs) if i != target])
-        it = iter(kinds)
-        refs = [r if i == target or next(it) else _block_to_arrow.remote(r)
-                for i, r in enumerate(refs)]
+        # (round-3 advice #6).  The block format is decided DATASET-
+        # wide, so one driver-side schema check replaces the earlier
+        # per-block probe tasks (which deserialized every block's rows
+        # just to learn its type, on every update)
+        all_arrow = isinstance(getattr(sch, "base_schema", None), pa.Schema)
+        if not all_arrow:
+            refs = [r if i == target else _block_to_arrow.remote(r)
+                    for i, r in enumerate(refs)]
         self._data = rd.from_arrow_refs(refs)
         return row
 

@@ -163,3 +163,19 @@ def test_dedup_keep_min_keeps_one_per_cluster():
     kept = sorted(dedup_keep_min(docs, pairs).to_pandas()["doc_id"])
     # {1,3,4} -> keep 1; {7,8} -> keep 7; 1000 singleton survives
     assert kept == [1, 7, 1000]
+
+
+def test_group_star_edges_ignores_null_keys():
+    # null keys define no equivalence: previously transform('min') on
+    # NaN-keyed rows produced INT64_MIN garbage edges linking every
+    # null-keyed doc into one bogus cluster
+    import pandas as pd
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.graph import group_star_edges
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "fp": [100.0, 100.0, None, None]})
+    edges = (group_star_edges(rd.from_pandas(df), ["fp"])
+             .to_pandas().sort_values("src").reset_index(drop=True))
+    assert edges.values.tolist() == [[2, 1]]

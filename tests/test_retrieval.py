@@ -79,3 +79,21 @@ def test_bm25_empty_corpus():
     out = bm25_topk(ds, ["data"], k=5)
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "bm25"]
+
+
+def test_bm25_repeated_query_term_weights_double(ray_session):
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.retrieval import bm25_topk
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "data systems and data pipelines"},
+        {"doc_id": 2, "text": "systems only here"},
+    ])
+    single = bm25_topk(docs, ["data"], k=2).to_pandas()
+    double = bm25_topk(docs, ["data", "data"], k=2).to_pandas()
+    # multiset semantics: the repeated term doubles its contribution
+    s1 = single.set_index("doc_id")["bm25"]
+    s2 = double.set_index("doc_id")["bm25"]
+    # scores round to 6 decimals, so compare at that precision
+    assert abs(s2[1] - 2 * s1[1]) < 2e-6

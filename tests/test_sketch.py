@@ -83,3 +83,9 @@ def test_heavy_hitters_int_keys(ray_session):
                         .repartition(8), "u", k=3)
     assert got["u"].tolist() == [7, 11, 13]
     assert (got["est"].to_numpy() >= np.array([900, 700, 500])).all()
+
+
+def test_approx_ndistinct_empty_dataset(ray_session):
+    from simplecrawler_ray.functions.sketch import approx_ndistinct
+    empty = rd.from_arrow(pa.table({"u": pa.array([], pa.int64())}))
+    assert approx_ndistinct(empty, "u") == 0.0
