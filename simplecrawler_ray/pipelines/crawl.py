@@ -142,19 +142,13 @@ def _adopt_frontier_block(block, n_buckets: int):
     #1; ``ray.put`` objects are not lineage-reconstructable).  The
     driver still never sees the rows themselves — it ``ray.get``\\ s
     only the thin meta yield."""
-    from ..stages.turbo import META_COL
+    from ..stages.turbo import META_COL, merge_meta_blobs
 
     if isinstance(block, pd.DataFrame):
         block = pa.Table.from_pandas(block, preserve_index=False)
     counters: dict[str, int] = {}
     if META_COL in block.column_names:
-        for blob in block.column(META_COL).to_pylist():
-            if blob:
-                for k, v in json.loads(blob).items():
-                    if isinstance(v, str):  # e.g. __new_host marker
-                        counters[k] = v
-                    else:
-                        counters[k] = counters.get(k, 0) + int(v)
+        merge_meta_blobs(counters, block.column(META_COL).to_pylist())
         block = block.drop_columns([META_COL])
         block = block.filter(pc.is_valid(block.column("url")))
     meta, tables = [], []
@@ -346,10 +340,22 @@ class _DatasetFrontier:
             self.bucket_seq[b] = [tuple(ray.get(rng_ref))] if nrem else []
             wave_parts.append(ray.get(wave_ref))
         wave_parts = [w for w in wave_parts if w.num_rows]
+        self.maybe_unflatten()
         if not wave_parts:
             return FRONTIER_SCHEMA.empty_table()
         wave = pa.concat_tables(wave_parts, promote_options="default")
         return wave.take(pc.sort_indices(wave, sort_keys=[("seq", "ascending")]))
+
+    def maybe_unflatten(self) -> None:
+        """Once a flat store fully drains, bucket identity can be
+        rebuilt: new ``add_table`` rows re-bucket by host and budget
+        dequeues return to the per-bucket fast path (without this the
+        one-time ``set_blocks`` fallback was permanent)."""
+        if self.flat and self.num_rows == 0:
+            self.flat = False
+            self.buckets = [[] for _ in range(self.n_buckets)]
+            self.bucket_rows = [[] for _ in range(self.n_buckets)]
+            self.bucket_seq = [[] for _ in range(self.n_buckets)]
 
     def subtract_hosts(self, t: pa.Table) -> None:
         for e in pc.value_counts(t.column("host")).to_pylist():
@@ -376,6 +382,7 @@ class _DatasetFrontier:
                     self.buckets[0].append(ref)
                     self.bucket_rows[0].append(n)
                     self.bucket_seq[0].append(self.SEQ_RANGE_UNKNOWN)
+        self.maybe_unflatten()  # an empty repoint restores bucketing
 
     def dataset(self) -> rd.Dataset:
         return rd.from_arrow_refs(list(self.refs))
@@ -703,6 +710,37 @@ class CrawlEngine:
             admitted = self._admit_candidates(proc(cands))
         return admitted.num_rows
 
+    def _cfg_broadcast(self):
+        """Re-``ray.put`` self.cfg ONLY when it changed: the worker-side
+        UDF cache keys on the ref hex, so a fresh ref every round would
+        rebuild each worker's Fetcher (re-deserializing the whole web/
+        corpus object) once per round instead of once per crawl."""
+        snap = dict(self.cfg)
+        if getattr(self, "_cfg_ref", None) is None or snap != self._cfg_snap:
+            self._cfg_ref = ray.put(self.cfg)
+            self._cfg_snap = snap
+        return self._cfg_ref
+
+    def _cache_broadcast(self):
+        """Same change-detection for the 304 cache index."""
+        snap = dict(self.cache_index)
+        if (getattr(self, "_cache_ref", None) is None
+                or snap != self._cache_snap):
+            self._cache_ref = ray.put(snap)
+            self._cache_snap = snap
+        return self._cache_ref
+
+    def _robots_broadcast(self):
+        """Same change-detection for the robots rules snapshot (values
+        compare by identity — _fetch_robots adds/evicts entries, never
+        mutates a rules object in place)."""
+        snap = dict(self.robots_cache)
+        if (getattr(self, "_robots_ref", None) is None
+                or snap != self._robots_snap):
+            self._robots_ref = ray.put(self.robots_cache)
+            self._robots_snap = snap
+        return self._robots_ref
+
     def _seed(self) -> None:
         # start() adds the seed directly — no domain/robots/condition gate
         # (src/crawler.ts:646-674)
@@ -711,7 +749,11 @@ class CrawlEngine:
         proc = CandidateProcessor(
             {**self.cfg, "fetch_conditions": None, "filter_by_domain": False,
              "respect_robots_txt": False}, {})
-        self._admit_candidates(proc(cands))
+        admitted = self._admit_candidates(proc(cands))
+        if admitted.num_rows and not hasattr(self, "_seed_seq"):
+            # the seed's seq scopes first-request special-casing in the
+            # turbo UDF (only THIS row is "the first request")
+            self._seed_seq = int(admitted.column("seq")[0].as_py())
 
     def _admit_candidates(self, cands: pa.Table) -> pa.Table:
         """Filter counters -> dedup (first-wins in (parent_seq,pos) order)
@@ -956,6 +998,10 @@ class CrawlEngine:
             wave = self._dequeue_wave()
         if wave.num_rows == 0:
             return False
+        # terminal rows produced THIS round outside the fetch path
+        # (robots-disallowed) — must reach the checkpoint too, or a
+        # resume loses them (their hashes replay from checkpoint parquet)
+        round_terminal: list = []
 
         # robots for hosts new this round (crawler.ts:1296-1335)
         if self.cfg["respect_robots_txt"]:
@@ -996,9 +1042,13 @@ class CrawlEngine:
                        pa.string(), pa.list_(pa.string()), pa.bool_()],
                   ):
                       dis = dis.append_column(name, pa.nulls(dis.num_rows, typ))
-                  self.terminal_refs.append(ray.put(_normalize_fetched(dis)))
+                  dis_ref = ray.put(_normalize_fetched(dis))
+                  self.terminal_refs.append(dis_ref)
+                  round_terminal.append(dis_ref)
                   wave = wave.filter(allowed)
               if wave.num_rows == 0:
+                  with self._timed("checkpoint"):
+                      self._checkpoint(round_terminal)
                   return True
 
         if self.cfg["track_fetch_order"]:
@@ -1008,8 +1058,8 @@ class CrawlEngine:
         # ---- distributed fetch+parse ----
         if self._web_ref is None:
             self._web_ref = ray.put(self.web)
-        cfg_ref = ray.put(self.cfg)
-        cache_ref = ray.put(dict(self.cache_index))
+        cfg_ref = self._cfg_broadcast()
+        cache_ref = self._cache_broadcast()
         bs = self.cfg["batch_size"]
         # split the wave into blocks so the task pool actually parallelizes
         chunks = [wave.slice(off, bs) for off in range(0, wave.num_rows, bs)] or [wave]
@@ -1037,6 +1087,8 @@ class CrawlEngine:
             thin_all = ray.get(thin_refs)
         keep = [i for i, t in enumerate(thin_all) if t.num_rows]
         if not keep:
+            with self._timed("checkpoint"):
+                self._checkpoint(round_terminal)
             return True
         round_refs = [norm_refs[i] for i in keep]
         self.terminal_refs.extend(round_refs)
@@ -1154,8 +1206,8 @@ class CrawlEngine:
             raw = explode_discovered(fetched_raw, max_depth)
             cand_tables = [proc(raw)] if raw.num_rows else []
         else:
-            cfg_ref2 = ray.put(self.cfg)
-            robots_ref = ray.put(self.robots_cache)
+            cfg_ref2 = self._cfg_broadcast()
+            robots_ref = self._robots_broadcast()
             cand_ds = fetched_ds.map_batches(
                 lambda b: explode_discovered(b, max_depth),
                 batch_format="pyarrow", zero_copy_batch=True,
@@ -1178,7 +1230,7 @@ class CrawlEngine:
                 self._admit_candidates(all_cands)
 
         with self._timed("checkpoint"):
-            self._checkpoint(round_refs)
+            self._checkpoint(round_refs + round_terminal)
         return True
 
     # ------------------------------------------------------------- public
@@ -1195,6 +1247,12 @@ class CrawlEngine:
                 if self._wait_handles and self._drain_waits():
                     continue
                 break
+        ovf = self.seen.overflow()
+        if ovf:
+            # the cuckoo filter saturated: ovf genuinely-new URLs were
+            # misreported as duplicates and dropped — surfaced as a
+            # metric so a starving crawl is diagnosable
+            self._count("seenoverflow", ovf)
         self._count("complete")
         return CrawlResult(self)
 
@@ -1235,14 +1293,22 @@ class CrawlEngine:
                     hosts = {f"{h}:{p or ''}"
                              for h, p in zip(wave.column("host").to_pylist(),
                                              wave.column("port").to_pylist())}
-                    before = len(self.robots_cache)
                     hosts_new = hosts - self.robots_cache.keys()
                     if hosts_new:
-                        sitemaps = self._fetch_robots(hosts_new)
+                        # pass the FULL wave host set: _fetch_robots only
+                        # fetches new hosts, but its cache eviction keeps
+                        # `k in hosts` — passing just hosts_new could evict
+                        # a current-wave host's rules, and the recheck
+                        # below would treat it as allowed
+                        sitemaps = self._fetch_robots(hosts)
                         if sitemaps is not None:
                             proc = CandidateProcessor(self.cfg, self.robots_cache)
                             self._admit_candidates(proc(sitemaps))
-                    if len(self.robots_cache) != before:
+                        # the cache mutated (adds and/or evictions) exactly
+                        # when new hosts were fetched — rebroadcast then.
+                        # (len() equality is the wrong change detector: at
+                        # steady state past the cap, adds == evictions and
+                        # workers would keep a stale snapshot forever)
                         robots_ref = ray.put(self.robots_cache)
                     # re-check the dequeued wave against fresh rules: rows
                     # queued before their host's robots arrived (parity with
@@ -1270,7 +1336,8 @@ class CrawlEngine:
                                    robots_ref=robots_ref,
                                    seen_shards=self.seen.shards,
                                    round_no=self.round_no, sink_dir=sink_dir,
-                                   first_request=self.first_request),
+                                   first_request=self.first_request,
+                                   first_seq=getattr(self, "_seed_seq", -1)),
                     batch_format="pyarrow",
                     batch_size=bs,
                     zero_copy_batch=True,
@@ -1332,6 +1399,12 @@ class CrawlEngine:
                 with self._timed("checkpoint"):
                     self._checkpoint_state()
             self.round_no += 1
+        ovf = self.seen.overflow()
+        if ovf:
+            # the cuckoo filter saturated: ovf genuinely-new URLs were
+            # misreported as duplicates and dropped — surfaced as a
+            # metric so a starving crawl is diagnosable
+            self._count("seenoverflow", ovf)
         self._count("complete")
         return {"fetched": fetched_total, "rounds": self.round_no,
                 "metrics": dict(self.metrics), "sink_dir": sink_dir}
@@ -1421,7 +1494,8 @@ class CrawlEngine:
 
         eng = cls(web, initial_url, checkpoint_dir=checkpoint_dir, **options)
         states = sorted(d for d in os.listdir(checkpoint_dir)
-                        if d.startswith("state-round="))
+                        if d.startswith("state-round=")
+                        and not d.endswith(".tmp"))
         if not states:
             return eng
         last = os.path.join(checkpoint_dir, states[-1])
@@ -1479,7 +1553,10 @@ class CrawlEngine:
         """Defrost (S4): rebuild frontier + replay seen-set from the last
         completed round checkpoint."""
         eng = cls(web, initial_url, checkpoint_dir=checkpoint_dir, **options)
-        rounds = sorted(d for d in os.listdir(checkpoint_dir) if d.startswith("round="))
+        # a crash between makedirs(tmp) and the atomic os.replace leaves
+        # a half-written "*.tmp" dir — never treat it as a checkpoint
+        rounds = sorted(d for d in os.listdir(checkpoint_dir)
+                        if d.startswith("round=") and not d.endswith(".tmp"))
         if not rounds:
             return eng
         last = os.path.join(checkpoint_dir, rounds[-1])
@@ -1589,8 +1666,17 @@ class CrawlResult:
         self.engine.seen.shutdown()
 
 
-def sink_dataset(sink_dir: str) -> "rd.Dataset":
+def sink_dataset(sink_dir: str, dedup: bool = False) -> "rd.Dataset":
     """Read a turbo crawl's fetched output back as a Dataset.  Rows are
-    at-least-once across resume boundaries: dedup by url keeping the
-    highest round if a resume re-fetched an interrupted wave."""
-    return rd.read_parquet(sink_dir)
+    at-least-once across resume boundaries; pass ``dedup=True`` to keep
+    one row per url (the highest-round fetch wins — one
+    groupby(url_hash) shuffle, row payloads move once)."""
+    ds = rd.read_parquet(sink_dir)
+    if not dedup:
+        return ds
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("round", kind="stable").tail(1)
+
+    return ds.groupby("url_hash").map_groups(keep_latest,
+                                             batch_format="pandas")

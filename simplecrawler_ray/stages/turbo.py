@@ -70,18 +70,25 @@ def _with_meta(frontier: pa.Table, counters: dict) -> pa.Table:
     return frontier.append_column(pa.field(META_COL, pa.string()), meta)
 
 
+def merge_meta_blobs(counters: dict, blobs) -> None:
+    """Merge META_COL JSON blobs into ``counters`` in place: int values
+    accumulate, string values (e.g. the __new_host marker) overwrite —
+    the ONE implementation of the in-band counter convention."""
+    for blob in blobs:
+        if blob:
+            for k, v in json.loads(blob).items():
+                if isinstance(v, str):
+                    counters[k] = v
+                else:
+                    counters[k] = counters.get(k, 0) + int(v)
+
+
 def split_meta(tables: list[pa.Table]) -> tuple[list[pa.Table], dict]:
     """Driver side: strip META_COL + null marker rows, merge counters."""
     counters: dict[str, int] = {}
     out = []
     for t in tables:
-        for blob in t.column(META_COL).to_pylist():
-            if blob:
-                for k, v in json.loads(blob).items():
-                    if isinstance(v, str):  # e.g. __new_host marker
-                        counters[k] = v
-                    else:
-                        counters[k] = counters.get(k, 0) + int(v)
+        merge_meta_blobs(counters, t.column(META_COL).to_pylist())
         t = t.drop_columns([META_COL])
         t = t.filter(pc.is_valid(t.column("url")))
         if t.num_rows:
@@ -91,7 +98,7 @@ def split_meta(tables: list[pa.Table]) -> tuple[list[pa.Table], dict]:
 
 def turbo_round_udf(batch: pa.Table, *, web_ref, cfg_ref, robots_ref,
                     seen_shards, round_no, sink_dir,
-                    first_request=False) -> pa.Table:
+                    first_request=False, first_seq=-1) -> pa.Table:
     key = ("turbo", _ref_key(web_ref), _ref_key(cfg_ref), _ref_key(robots_ref))
     st = _WORKER_CACHE.get(key)
     if st is None:
@@ -133,15 +140,21 @@ def turbo_round_udf(batch: pa.Table, *, web_ref, cfg_ref, robots_ref,
                          pc.not_equal(pc.coalesce(fetched.column("location"), ""), ""))
     redirs = fetched.filter(redir_mask)
     if redirs.num_rows:
-        override = 1 if first_request else -1
-        if first_request and cfg.get("allow_initial_domain_change"):
+        # first-request special-casing applies ONLY to the seed row
+        # itself (seq == first_seq), not to every redirect in round 0 —
+        # a multi-URL seeded frontier has thousands of round-0 rows and
+        # treating each batch's min-seq redirect as "the first request"
+        # mislabels depths and can rewrite cfg.host to an arbitrary
+        # third-party host
+        seqs = redirs.column("seq").to_pylist()
+        if first_request and cfg.get("allow_initial_domain_change") \
+                and first_seq in seqs:
             # first-request redirect host rewrite (crawler.ts:1951-1953):
             # adopt the target host for THIS batch's candidate filtering
             # and report it in-band so the driver rewrites cfg.host
             from ..urlnorm import process_url
 
-            first_i = int(pc.index(redirs.column("seq"),
-                                   pc.min(redirs.column("seq"))).as_py())
+            first_i = seqs.index(first_seq)
             tgt = process_url(redirs.column("location")[first_i].as_py(),
                               redirs.column("url")[first_i].as_py())
             if tgt is not None and tgt.host:
@@ -150,12 +163,14 @@ def turbo_round_udf(batch: pa.Table, *, web_ref, cfg_ref, robots_ref,
                                           proc.robots)
         redir_cands = candidate_table([
             dict(candidate=loc, referrer_url=url, referrer_depth=dep,
-                 parent_seq=seq, pos=0, depth_override=override)
+                 parent_seq=seq, pos=0,
+                 depth_override=(1 if first_request and seq == first_seq
+                                 else -1))
             for loc, url, dep, seq in zip(
                 redirs.column("location").to_pylist(),
                 redirs.column("url").to_pylist(),
                 redirs.column("depth").to_pylist(),
-                redirs.column("seq").to_pylist())
+                seqs)
         ])
         raw = (pa.concat_tables([raw, redir_cands], promote_options="default")
                if raw.num_rows else redir_cands)
@@ -172,20 +187,13 @@ def turbo_round_udf(batch: pa.Table, *, web_ref, cfg_ref, robots_ref,
     if cands.num_rows == 0:
         return _with_meta(FRONTIER_SCHEMA.empty_table(), counters)
 
-    # distributed dedup: scatter to the seen shards, first-wins
+    # distributed dedup: scatter to the seen shards, first-wins (the
+    # ONE shard-routing implementation lives in state/seen.py)
+    from ..state.seen import scatter_check_and_add
+
     hashes = np.asarray(cands.column("url_hash").to_numpy(zero_copy_only=False),
                         dtype=np.uint64)
-    n_shards = len(seen_shards)
-    shard_of = (hashes % np.uint64(n_shards)).astype(np.int64)
-    mask = np.zeros(len(hashes), dtype=bool)
-    refs, idxs = [], []
-    for s in range(n_shards):
-        idx = np.nonzero(shard_of == s)[0]
-        if len(idx):
-            refs.append(seen_shards[s].check_and_add.remote(hashes[idx]))
-            idxs.append(idx)
-    for idx, m in zip(idxs, ray.get(refs)):
-        mask[idx] = m
+    mask = scatter_check_and_add(hashes, seen_shards)
     counters["queueadd"] = int(mask.sum())
     counters["queueduplicate"] = int((~mask).sum())
     admitted = cands.filter(pa.array(mask))

@@ -106,6 +106,7 @@ class CuckooBackend:
         self.mask = _U64(nbuckets - 1)
         self.table = np.zeros((nbuckets, 4), dtype=np.uint16)
         self.count = 0
+        self.overflow = 0
         self.rng = np.random.default_rng(1234)
 
     def _fp_and_buckets(self, hashes: np.ndarray):
@@ -183,19 +184,28 @@ class CuckooBackend:
             if self._insert_one(int(fp[i]), int(b1[i]), int(b2[i])):
                 self.count += 1
                 out[i] = True
+            else:
+                # table saturated: the hash could NOT be recorded, so the
+                # URL is reported as a duplicate and dropped.  Count it —
+                # a silently saturating filter starves the frontier with
+                # no signal otherwise (size the filter via
+                # seen_capacity_per_shard; load factor ~0.95 max)
+                self.overflow += 1
         return out
 
     def add(self, hashes: np.ndarray) -> None:
         self.check_and_add(hashes)
 
     def state(self) -> dict:
-        return {"kind": "cuckoo", "table": self.table, "count": self.count}
+        return {"kind": "cuckoo", "table": self.table, "count": self.count,
+                "overflow": self.overflow}
 
     def load_state(self, st: dict) -> None:
         self.table = st["table"]
         self.nbuckets = self.table.shape[0]
         self.mask = _U64(self.nbuckets - 1)
         self.count = int(st["count"])
+        self.overflow = int(st.get("overflow", 0))
 
     def __len__(self):
         return self.count
@@ -266,14 +276,11 @@ class BloomBackend:
 BACKENDS = {"exact": ExactBackend, "cuckoo": CuckooBackend, "bloom": BloomBackend}
 
 
-@ray.remote
-def _scatter_check_and_add(hashes: np.ndarray, shards: list) -> np.ndarray:
-    """Worker-side scatter of one hash chunk to the seen shards (the
-    turbo-round dedup shape, stages/turbo.py:175-193).  Many of these
-    tasks run concurrently, so the driver is not the RPC funnel the
-    driver-side ``SeenSet.check_and_add`` scatter is (round-3 verdict
-    #2: the driver-mediated path measured 1.34 M/s against a backend
-    capable of 1.7 M/s *per shard*)."""
+def scatter_check_and_add(hashes: np.ndarray, shards: list) -> np.ndarray:
+    """Scatter a hash array to the seen shards and gather the first-wins
+    mask — the ONE shard-routing implementation (hash % n_shards);
+    called in-process from the turbo-round UDF and wrapped as a remote
+    task below for ``check_and_add_distributed``."""
     n = len(shards)
     shard_of = (hashes % _U64(n)).astype(np.int64)
     out = np.zeros(len(hashes), dtype=bool)
@@ -286,6 +293,16 @@ def _scatter_check_and_add(hashes: np.ndarray, shards: list) -> np.ndarray:
     for idx, m in zip(idxs, ray.get(refs)):
         out[idx] = m
     return out
+
+
+@ray.remote
+def _scatter_check_and_add(hashes: np.ndarray, shards: list) -> np.ndarray:
+    """Worker-side scatter of one hash chunk (the turbo-round dedup
+    shape).  Many of these tasks run concurrently, so the driver is
+    not the RPC funnel the driver-side ``SeenSet.check_and_add``
+    scatter is (round-3 verdict #2: the driver-mediated path measured
+    1.34 M/s against a backend capable of 1.7 M/s *per shard*)."""
+    return scatter_check_and_add(hashes, shards)
 
 
 @ray.remote(num_cpus=0.25)
@@ -307,6 +324,13 @@ class SeenShard:
 
     def size(self) -> int:
         return len(self.backend)
+
+    def overflow(self) -> int:
+        """Insertions REJECTED because the filter saturated (cuckoo
+        kick-out exhaustion): each one is a genuinely-new URL that was
+        reported as a duplicate.  Nonzero means the filter is
+        undersized — raise seen_capacity_per_shard."""
+        return int(getattr(self.backend, "overflow", 0))
 
     def memory_bytes(self) -> int:
         return self.backend.memory_bytes()
@@ -478,6 +502,12 @@ class SeenSet:
 
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def overflow(self) -> int:
+        """Total rejected (filter-saturated) insertions across shards —
+        each is a new URL misreported as a duplicate; nonzero means
+        seen_capacity_per_shard is undersized."""
+        return sum(ray.get([s.overflow.remote() for s in self.shards]))
 
     def memory_bytes(self) -> int:
         return sum(ray.get([s.memory_bytes.remote() for s in self.shards]))

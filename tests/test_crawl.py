@@ -1006,3 +1006,52 @@ def test_turbo_checkpoint_records_lineage(tmp_path):
     sunk = sum(_pq.read_metadata(f).num_rows
                for f in glob.glob(sink + "/round=*/*.parquet"))
     assert total_lineage_rows == sunk > 0
+
+
+def test_turbo_nonseed_redirect_does_not_rewrite_host(tmp_path):
+    """First-request special-casing is scoped to the SEED row: with a
+    multi-URL seeded frontier, a round-0 redirect on a non-seed row
+    must neither rewrite cfg.host nor get the seed's depth-1 override."""
+    import ray.data as rd
+
+    web = ConformanceWeb()
+    # seed = plain page on 127.0.0.1; the frontier also carries an
+    # off-site redirecting URL in the same round-0 wave
+    eng = CrawlEngine(web, "http://127.0.0.1:3000/",
+                      seen_shards=2, allow_initial_domain_change=True)
+    eng.seed_frontier(["http://127.0.0.1:3000/domain-redirect2"])
+    eng.run_turbo(str(tmp_path / "sink"), max_rounds=10)
+    # the non-seed redirect must not have adopted localhost as the host
+    assert eng.cfg["host"] == "127.0.0.1"
+    eng.seen.shutdown()
+
+
+def test_disallowed_rows_survive_resume(web, tmp_path):
+    """Robots-disallowed terminal rows reach the checkpoint: after a
+    resume, the disallowed record is still present and its hash is in
+    the seen set (no duplicate terminal record on re-discovery)."""
+    d = str(tmp_path / "ckpt")
+    eng = CrawlEngine(web, "http://127.0.0.1:3000/to/other/port",
+                      checkpoint_dir=d, seen_shards=2,
+                      filter_by_domain=False)
+    eng._seed()
+    for _ in range(8):
+        if not eng._run_round() and not eng._manual:
+            break
+        eng.round_no += 1
+    from simplecrawler_ray.pipelines.crawl import CrawlResult
+    t1 = CrawlResult(eng).fetched_table().to_pandas()
+    st1 = dict(zip(t1["url"], t1["status"]))
+    assert st1.get("http://127.0.0.1:3001/disallowed") == "disallowed"
+    eng.seen.shutdown()
+
+    eng2 = CrawlEngine.resume(web, "http://127.0.0.1:3000/to/other/port",
+                              d, seen_shards=2, filter_by_domain=False)
+    while eng2.round_no < 40:
+        if not eng2._run_round() and not eng2._manual:
+            break
+        eng2.round_no += 1
+    t2 = CrawlResult(eng2).fetched_table().to_pandas()
+    dis = t2[t2["url"] == "http://127.0.0.1:3001/disallowed"]
+    assert len(dis) == 1 and dis["status"].iloc[0] == "disallowed"
+    eng2.seen.shutdown()

@@ -157,3 +157,21 @@ def test_restore_backend_kind_mismatch_refused(tmp_path):
     with _pytest.raises(ValueError, match="backend"):
         s2.restore(d)
     s2.shutdown()
+
+
+def test_cuckoo_overflow_counted_not_silent():
+    from simplecrawler_ray.state.seen import CuckooBackend
+
+    b = CuckooBackend(capacity=16)
+    rng = np.random.default_rng(0)
+    hashes = rng.integers(1, 1 << 63, 400, dtype=np.uint64)
+    out = b.check_and_add(hashes)
+    # saturation must be observable, and every non-inserted new hash
+    # must be accounted as overflow (none silently vanish)
+    assert b.overflow > 0
+    distinct = len(np.unique(hashes))
+    assert int(out.sum()) + b.overflow == distinct
+    st = b.state()
+    b2 = CuckooBackend(capacity=64)
+    b2.load_state(st)
+    assert b2.overflow == b.overflow
