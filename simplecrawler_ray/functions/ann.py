@@ -43,8 +43,11 @@ def knn_bruteforce(ds: rd.Dataset, query: np.ndarray, k: int = 10,
     from ..ops import gather_tables
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-    merged = pa.concat_tables(gather_tables(parts),
-                              promote_options="default").to_pandas()
+    tables = gather_tables(parts)
+    if not tables:  # empty corpus
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    merged = pa.concat_tables(tables, promote_options="default").to_pandas()
     merged = merged.sort_values(["cos", id_col], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(merged, preserve_index=False)
 
@@ -82,8 +85,12 @@ def knn_bruteforce_multi(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
     from ..ops import gather_tables
 
     parts = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
-    merged = pa.concat_tables(gather_tables(parts),
-                              promote_options="default").to_pandas()
+    tables = gather_tables(parts)
+    if not tables:  # empty corpus
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    merged = pa.concat_tables(tables, promote_options="default").to_pandas()
     merged = (merged.sort_values(["query_id", "cos", id_col],
                                  ascending=[True, False, True])
               .groupby("query_id", sort=True).head(k))

@@ -157,11 +157,14 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
             batch_format="pyarrow", batch_size=512, zero_copy_batch=True))
         t = pa.concat_tables(sig_tables, promote_options="default")
         ids = t.column(id_col).to_pylist()
-        texts = t.column("text").to_pylist() if "text" in t.column_names else [""] * len(ids)
+        texts = t.column("text").to_pylist()
         sigs = t.column("minhash").to_pylist()
         buckets: dict = {}
+        sentinel = np.iinfo(np.uint64).max
         for i, sig in zip(ids, sigs):
             s = np.asarray(sig, dtype=np.uint64)
+            if s[0] == sentinel and (s == sentinel).all():
+                continue  # shingle-less doc — see to_bands
             for b in range(bands):
                 key = (b, _stable_hash64(s[b * rows_per_band:(b + 1) * rows_per_band].tobytes()))
                 buckets.setdefault(key, []).append(i)
@@ -196,8 +199,16 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         ids = batch.column(id_col).to_pylist()
         sigs = batch.column("minhash").to_pylist()
         out_id, out_band, out_bh = [], [], []
+        sentinel = np.iinfo(np.uint64).max
         for i, sig in zip(ids, sigs):
             s = np.asarray(sig, dtype=np.uint64)
+            if s[0] == sentinel and (s == sentinel).all():
+                # shingle-less doc (empty/whitespace/punctuation-only):
+                # EVERY such doc shares the all-max sentinel signature —
+                # banding them funnels N docs into one bucket (O(N^2)
+                # pairs) that all "verify" at jaccard 1.0.  No shingles
+                # => no similarity evidence => no candidates.
+                continue
             for b in range(bands):
                 chunk = s[b * rows_per_band: (b + 1) * rows_per_band]
                 out_id.append(i)
@@ -336,7 +347,10 @@ class SimHasher:
                              dtype=np.uint64, count=len(toks))
             bits = ((hs[:, None] >> bitcols[None, :]) & np.uint64(1)).astype(np.int64)
             v = bits.sum(axis=0) * 2 - len(hs)  # per-bit vote
-            out[n] = np.int64(((v > 0).astype(np.uint64) * weights).sum())
+            # array-style cast: wraps the uint64 bit pattern into int64
+            # on every numpy version (np.int64(scalar) raises on >=2^63
+            # under NumPy 2's strict scalar conversion)
+            out[n] = ((v > 0).astype(np.uint64) * weights).sum().astype(np.int64)
         return batch.append_column("simhash", pa.array(out, pa.int64()))
 
 
@@ -457,8 +471,8 @@ def hash_near_dup_pairs(ds: rd.Dataset, hash_col: str, max_hamming: int = 3,
 
 
 def ngram_jaccard_sets(sa: set, sb: set) -> float:
-    if not sa and not sb:
-        return 1.0
+    # two shingle-less docs carry no similarity evidence — 0.0, not 1.0
+    # (1.0 marked e.g. "foo!!!" and "???" as perfect near-dups)
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
@@ -528,7 +542,6 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
 
     first = ds.take(1)
     dim = len(first[0][emb_col])
-    rng = np.random.default_rng(seed)
     planes = np.stack([
         np.random.default_rng(seed + t).normal(size=(dim, n_planes))
         for t in range(n_tables)

@@ -90,7 +90,10 @@ def groupby_agg(ds: rd.Dataset, keys: list[str], aggs: dict[str, tuple],
             scaled = dec is not None and fn in ("sum", "mean")
             src = f"__x_{name}" if scaled else col
             if fn == "count":
-                out[f"__{name}_cnt"] = g[col if col else keys[0]].size()
+                # COUNT(col) = non-null count (SQL semantics; matches the
+                # mean path); COUNT(*) = pass col=None
+                out[f"__{name}_cnt"] = (g[col].count() if col
+                                        else g[keys[0]].size())
             elif fn == "mean":
                 out[f"__{name}_sum"] = g[src].sum()
                 out[f"__{name}_cnt"] = g[col].count()
@@ -249,6 +252,29 @@ def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
     lvals = [c for c in lnames if c not in (key, ts_col)]
     out_cols = [key, ts_col] + lvals + [rmap[c] for c in rvals]
 
+    def _is_int(t) -> bool:
+        # ds.schema() yields pyarrow types for Arrow blocks but numpy
+        # dtypes for pandas blocks — accept either
+        try:
+            if isinstance(t, pa.DataType):
+                return pa.types.is_integer(t)
+            return np.issubdtype(t, np.integer)
+        except Exception:
+            return False
+
+    def _np_of(t):
+        at = _arrow_type(t)
+        return np.dtype("uint64") if pa.types.is_unsigned_integer(at) \
+            else np.dtype("int64")
+
+    # 64-bit int VALUE columns ride through the padded union as 8-byte
+    # binary: the other side's null padding would widen them to float64
+    # in the pandas group frames, silently corrupting values past 2^53
+    # (this repo's own content/sim hashes).  key/ts are non-null on
+    # both sides, so they never widen and stay native.
+    lbin = {c: _np_of(ltypes[c]) for c in lvals if _is_int(ltypes[c])}
+    rbin = {rmap[c]: _np_of(rtypes[c]) for c in rvals if _is_int(rtypes[c])}
+
     def _base_buckets(batch: pa.Table) -> np.ndarray:
         # deterministic cross-process key hash (stable pandas hash)
         kb = pd.util.hash_pandas_object(
@@ -258,9 +284,12 @@ def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
     def tag_left(batch: pa.Table) -> pa.Table:
         cols = {key: batch.column(key), ts_col: batch.column(ts_col)}
         for c in lvals:
-            cols[c] = batch.column(c)
+            cols[c] = (_ints_to_bin(batch.column(c), lbin[c])
+                       if c in lbin else batch.column(c))
         for c in rvals:
-            cols[rmap[c]] = pa.nulls(batch.num_rows, rtypes[c])
+            cols[rmap[c]] = pa.nulls(
+                batch.num_rows,
+                pa.binary(8) if rmap[c] in rbin else _arrow_type(rtypes[c]))
         cols["__side"] = pa.array(np.zeros(batch.num_rows, np.int8))
         bucket = _base_buckets(batch)
         if salt:
@@ -279,9 +308,12 @@ def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
     def tag_right(batch: pa.Table) -> pa.Table:
         cols = {key: batch.column(key), ts_col: batch.column(ts_col)}
         for c in lvals:
-            cols[c] = pa.nulls(batch.num_rows, ltypes[c])
+            cols[c] = pa.nulls(
+                batch.num_rows,
+                pa.binary(8) if c in lbin else _arrow_type(ltypes[c]))
         for c in rvals:
-            cols[rmap[c]] = batch.column(c)
+            cols[rmap[c]] = (_ints_to_bin(batch.column(c), rbin[rmap[c]])
+                             if rmap[c] in rbin else batch.column(c))
         cols["__side"] = pa.array(np.ones(batch.num_rows, np.int8))
         t = pa.table(cols)
         bucket = _base_buckets(batch)
@@ -307,32 +339,31 @@ def asof_join_partitioned(left: rd.Dataset, right: rd.Dataset, key: str,
                           zero_copy_batch=True))
 
     rcols_out = [rmap[c] for c in rvals]
-    # left-origin int columns widen to float64 in the pandas round-trip
-    # (right-side rows carry nulls there); left rows have no nulls, so
-    # cast back after the split
-    def _is_int(t) -> bool:
-        # ds.schema() yields pyarrow types for Arrow blocks but numpy
-        # dtypes for pandas blocks — accept either
-        try:
-            if isinstance(t, pa.DataType):
-                return pa.types.is_integer(t)
-            return np.issubdtype(t, np.integer)
-        except Exception:
-            return False
-
-    lint_cols = [c for c in [key, ts_col] + lvals if _is_int(ltypes[c])]
+    lint_kt = [c for c in (key, ts_col) if _is_int(ltypes[c])]
 
     def merge_group(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0]
+        # a null key/ts can never satisfy the as-of inequality (SQL
+        # NULL semantics) — and merge_asof would raise on it
+        l = l.dropna(subset=[key, ts_col])
         if not len(l):
             return pd.DataFrame({c: pd.Series([], dtype=group[c].dtype)
                                  for c in out_cols})
         l = l.drop(columns=["__side", "__bucket"] + rcols_out).sort_values(
             ts_col, kind="stable")
-        for c in lint_cols:
+        for c in lint_kt:
             l[c] = l[c].astype("int64")
+        for c, dt in lbin.items():  # decode stashed left int values
+            l[c] = pd.array(_bin_to_ints(l[c], dt),
+                            dtype="UInt64" if dt.kind == "u" else "Int64")
         r = group[group["__side"] == 1]
         r = r[[key, ts_col] + rcols_out].sort_values(ts_col, kind="stable")
+        for c in lint_kt:
+            r[c] = r[c].astype("int64")
+        for c, dt in rbin.items():  # decode right ints to NULLABLE ints:
+            # unmatched left rows get pd.NA after the merge, never NaN
+            r[c] = pd.array(_bin_to_ints(r[c], dt),
+                            dtype="UInt64" if dt.kind == "u" else "Int64")
         out = pd.merge_asof(l, r, on=ts_col, by=key, direction=direction)
         return out[out_cols]
 
@@ -354,7 +385,11 @@ def topk(ds: rd.Dataset, sort_cols: list[tuple[str, bool]], k: int) -> pa.Table:
     parts = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
     tables = gather_tables(parts)
     if not tables:
-        return None
+        # empty input: a typed empty table (None broke callers far away)
+        try:
+            return _arrow_schema_of(ds).empty_table()
+        except Exception:
+            return None
     merged = pa.concat_tables(tables, promote_options="default")
     idx = pc.sort_indices(merged, sort_keys=keys)
     return merged.take(idx[:k])
@@ -570,24 +605,47 @@ def cumsum_by_key(ds: rd.Dataset, key_col: str, order_cols: list[str],
               .map_groups(bucket_fn, batch_format="pandas"))
 
 
+def _arrow_type(t) -> pa.DataType:
+    """Coerce a ds.schema() type to arrow: pandas-block datasets report
+    numpy dtypes (object columns → string)."""
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(t)
+    except (pa.ArrowNotImplementedError, TypeError):
+        return pa.string()
+
+
 def _arrow_schema_of(ds: rd.Dataset) -> pa.Schema:
     """Arrow schema of a dataset regardless of block format: arrow
-    blocks expose it directly; pandas blocks report numpy dtypes, which
-    convert via ``from_numpy_dtype`` (object columns → string)."""
+    blocks expose it directly; pandas blocks report numpy dtypes."""
     sch = ds.schema()
     base = getattr(sch, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
-    fields = []
-    for n, t in zip(sch.names, sch.types):
-        if isinstance(t, pa.DataType):
-            fields.append((n, t))
-        else:
-            try:
-                fields.append((n, pa.from_numpy_dtype(t)))
-            except (pa.ArrowNotImplementedError, TypeError):
-                fields.append((n, pa.string()))
-    return pa.schema(fields)
+    return pa.schema([(n, _arrow_type(t))
+                      for n, t in zip(sch.names, sch.types)])
+
+
+def _ints_to_bin(col: "pa.ChunkedArray|pa.Array", np_dtype) -> pa.Array:
+    """Encode a 64-bit int column as 8-byte binary so it survives the
+    pandas null-padding round-trip EXACTLY (int64 with nulls widens to
+    float64, silently corrupting values past 2^53 — e.g. this repo's
+    own 64-bit content/sim hashes)."""
+    v = np.ascontiguousarray(
+        col.to_numpy(zero_copy_only=False).astype(np_dtype))
+    # fixed_size_binary, NOT numpy "S8": S-strings strip trailing NUL
+    # bytes, truncating any value whose little-endian high bytes are 0
+    return pa.Array.from_buffers(pa.binary(8), len(v),
+                                 [None, pa.py_buffer(v.tobytes())])
+
+
+def _bin_to_ints(series: "pd.Series", np_dtype) -> np.ndarray:
+    """Decode non-null 8-byte binary values back to their int dtype."""
+    vals = series.to_numpy()
+    if not len(vals):
+        return np.array([], dtype=np_dtype)
+    return np.frombuffer(b"".join(vals), dtype=np_dtype)
 
 
 def semi_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
@@ -615,8 +673,20 @@ def semi_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
     arrow_sch = _arrow_schema_of(left)
     if on not in arrow_sch.names:
         raise KeyError(f"unknown join column {on!r}")
+    # 64-bit int payload columns ride as fixed-size binary: the right
+    # side's null padding would widen them to float64 in the pandas
+    # group frames, silently corrupting values past 2^53 (the key
+    # column is populated on BOTH sides, so it never widens)
+    binmap = {f.name: (np.dtype("uint64")
+                       if pa.types.is_unsigned_integer(f.type)
+                       else np.dtype("int64"))
+              for f in arrow_sch
+              if f.name != on and f.type in (pa.int64(), pa.uint64())}
 
     def tag_left(batch: pa.Table) -> pa.Table:
+        for c, dt in binmap.items():
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(i, c, _ints_to_bin(batch.column(c), dt))
         t = _tag_bucket(batch, on, n_buckets)
         return t.append_column(
             "__side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
@@ -628,6 +698,8 @@ def semi_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
             names.append(f.name)
             if f.name == on:
                 cols.append(keys.cast(f.type))
+            elif f.name in binmap:
+                cols.append(pa.nulls(len(keys), pa.binary(8)))
             else:
                 cols.append(pa.nulls(len(keys), f.type))
         t = pa.Table.from_arrays(cols, names=names)
@@ -647,9 +719,11 @@ def semi_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,
         keep = mine[on].isin(rkeys)
         if anti:
             keep = ~keep
-        out = mine.loc[keep, list(arrow_sch.names)]
-        # the padded-null union widened int columns to float64 in
-        # pandas; side-0 rows have no nulls, so cast back losslessly
+        out = mine.loc[keep, list(arrow_sch.names)].copy()
+        for c, dt in binmap.items():  # decode the stashed 64-bit ints
+            out[c] = _bin_to_ints(out[c], dt)
+        # remaining (<=32-bit) int columns widened to float64 in pandas;
+        # side-0 rows have no nulls, so the cast back is lossless
         return pa.Table.from_pandas(out, preserve_index=False).cast(arrow_sch)
 
     return (lt.union(rt)

@@ -913,3 +913,61 @@ def test_sample_fraction_deterministic_and_unbiased():
     # different seed -> a different (deterministic) subset
     c = sample_fraction(rd.from_pandas(df), 0.3, seed=1).to_pandas()
     assert set(c["doc_id"]) != set(a["doc_id"])
+
+
+def test_joins_preserve_full_range_int64():
+    """64-bit hash-like values survive the padded union exactly — the
+    float64 widening round-trip silently corrupted values past 2^53."""
+    from simplecrawler_ray.ops import anti_join, asof_join_partitioned
+    big = np.array([(1 << 60) + 12345, (1 << 62) + 7, 3, -(1 << 61) - 9],
+                   dtype=np.int64)
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "h": big})
+    right = pd.DataFrame({"key": [2, 4]})
+    got = (anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                     "k", right_on="key")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["h"].tolist() == [big[0], big[2]]
+
+    l = pd.DataFrame({"k": ["a", "a", "b"], "ts": [5, 9, 5],
+                      "lh": big[:3]})
+    r = pd.DataFrame({"k": ["a", "b"], "ts": [1, 1], "rh": big[1:3]})
+    out = (asof_join_partitioned(rd.from_pandas(l), rd.from_pandas(r),
+                                 "k", "ts")
+           .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    assert out["lh"].tolist() == [int(big[0]), int(big[1]), int(big[2])]
+    assert out["rh"].tolist() == [int(big[1]), int(big[1]), int(big[2])]
+
+
+def test_asof_join_partitioned_pandas_blocks_and_null_ts():
+    """pandas-format input blocks (numpy dtypes in ds.schema()) and
+    null left timestamps must not crash the partitioned as-of join."""
+    from simplecrawler_ray.ops import asof_join_partitioned
+    l = pd.DataFrame({"k": [1, 1, 2], "ts": [10.0, None, 10.0],
+                      "v": [1, 2, 3]})
+    r = pd.DataFrame({"k": [1, 2], "ts": [5.0, 50.0], "rv": [7, 8]})
+    out = (asof_join_partitioned(rd.from_pandas(l), rd.from_pandas(r),
+                                 "k", "ts")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # the null-ts row is dropped (SQL NULL never satisfies the
+    # inequality); k=2 has no earlier right row -> NA rv
+    assert out["v"].tolist() == [1, 3]
+    assert out["rv"][0] == 7 and pd.isna(out["rv"][1])
+
+
+def test_groupby_agg_count_ignores_nulls():
+    from simplecrawler_ray.ops import groupby_agg
+    df = pd.DataFrame({"g": ["a", "a", "b"], "v": [1.0, None, 2.0]})
+    out = (groupby_agg(rd.from_pandas(df), ["g"], {"n": ("count", "v")})
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert out["n"].tolist() == [1, 1]
+
+
+def test_minhash_skips_shingleless_docs(ray_session):
+    from simplecrawler_ray.functions.dedup import minhash_lsh_pairs
+    docs = rd.from_items(
+        [{"doc_id": i, "text": "!!!"} for i in range(30)]
+        + [{"doc_id": 100, "text": "the same long sentence appears here"},
+           {"doc_id": 101, "text": "the same long sentence appears here"}])
+    pairs = minhash_lsh_pairs(docs, verify=True).to_pandas()
+    # empty-shingle docs pair with nothing; the real dup pair survives
+    assert pairs[["id_a", "id_b"]].values.tolist() == [[100, 101]]
