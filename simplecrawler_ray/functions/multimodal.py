@@ -24,7 +24,8 @@ from typing import Optional
 import numpy as np
 import pyarrow as pa
 
-from .imagecodec import decode_image, encode_image, phash64
+from .imagecodec import (decode_image, encode_image, phash64,
+                         phash64_batch)
 
 
 class ImageDecodeStage:
@@ -51,6 +52,7 @@ class ImageDecodeStage:
         mean_b = [0.0] * n
         ph = [0] * n
         err = [""] * n
+        ok_idx, ok_arrs = [], []
         for i, blob in enumerate(blobs):
             if not blob:
                 err[i] = "empty"
@@ -60,13 +62,22 @@ class ImageDecodeStage:
             except NotImplementedError as e:
                 err[i] = f"stubbed: {e}"
                 continue
-            except ValueError as e:
-                err[i] = str(e)
+            except Exception as e:
+                # the per-row contract: ANY decode failure (truncated
+                # chunk -> struct.error, corrupt IDAT -> zlib.error,
+                # PIL.UnidentifiedImageError from a plugged-in codec...)
+                # lands in decode_error, never kills the batch
+                err[i] = f"{type(e).__name__}: {e}"
                 continue
             h[i], w[i] = arr.shape[:2]
             means = arr.reshape(-1, 3).mean(axis=0)
             mean_r[i], mean_g[i], mean_b[i] = map(float, means)
-            ph[i] = phash64(arr)
+            ok_idx.append(i)
+            ok_arrs.append(arr)
+        if ok_arrs:
+            # one batched (N,32,32) DCT matmul — ~3x the per-row loop
+            for i, v in zip(ok_idx, phash64_batch(ok_arrs)):
+                ph[i] = int(v)
         out = batch
         for name, arr_, typ in [
             ("img_w", w, pa.int32()), ("img_h", h, pa.int32()),
@@ -105,8 +116,8 @@ class ImageResizeStage:
             try:
                 out_blobs[i] = self.encoder(self._resize(self.decoder(blob)),
                                             self.fmt)
-            except (ValueError, NotImplementedError):
-                pass
+            except Exception:
+                pass  # per-row contract: a bad blob yields null, not a crash
         return batch.append_column("resized_bytes", pa.array(out_blobs, pa.binary()))
 
 
@@ -182,9 +193,20 @@ class AudioFeatureStage:
         blobs = batch.column(self.bytes_col).to_pylist()
         rms, zcr, cent, rates, errs = [], [], [], [], []
         for blob in blobs:
+            if not blob:
+                # same per-row contract as the image/video stages: an
+                # empty payload is flagged, never turned into fabricated
+                # fake-PCM features
+                rms.append(0.0); zcr.append(0.0); cent.append(0.0)
+                rates.append(0); errs.append("empty")
+                continue
             try:
-                pcm, rate, err = self._decode(blob or b"")
-            except ValueError as e:
+                pcm, rate, err = self._decode(blob)
+                if not err and pcm.size == 0:
+                    raise ValueError("zero-sample audio payload")
+            except Exception as e:
+                # ANY decode failure (struct.error on a truncated RIFF
+                # header, codec-plug-in exceptions...) is per-row
                 pcm, rate, err = np.zeros(1, np.float32), 0, str(e)
             rms.append(float(np.sqrt(np.mean(pcm**2))))
             zcr.append(float(np.mean(np.abs(np.diff(np.sign(pcm))) > 0)))

@@ -60,6 +60,24 @@ def _update_block_at(block, local_idx: int, flat: dict):
     return _patch_row(block, local_idx, flat)
 
 
+def _requeue_spooled(t: pa.Table) -> pa.Table:
+    status = t.column("status")
+    status = pc.if_else(pc.equal(status, STATUS_SPOOLED),
+                        pa.scalar(STATUS_QUEUED), status)
+    return t.set_column(t.schema.get_field_index("status"), "status", status)
+
+
+@ray.remote
+def _freeze_block(block, out_path: str) -> int:
+    import pandas as pd
+
+    if isinstance(block, pd.DataFrame):
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    block = _requeue_spooled(block)
+    pq.write_table(block, out_path)
+    return block.num_rows
+
+
 @ray.remote
 def _block_to_arrow(block):
     import pandas as pd
@@ -84,13 +102,42 @@ def _flatten_comparator(comparator: dict) -> dict[str, Any]:
     return flat
 
 
+def _deep_match(query: dict, obj) -> bool:
+    """Reference ``compare`` parity (src/queue.ts:16-34): every query
+    key must match in obj; nested dicts recurse (partial match)."""
+    if not isinstance(obj, dict):
+        return False
+    for k, v in query.items():
+        if isinstance(v, dict):
+            if not _deep_match(v, obj.get(k)):
+                return False
+        elif obj.get(k) != v:
+            return False
+    return True
+
+
 def _predicate(table: pa.Table, flat: dict[str, Any]) -> pa.Array:
+    import json as _json
+
     mask = None
     for col, val in flat.items():
         if col not in table.column_names:
             raise KeyError(f"unknown column {col!r}")
-        m = pc.equal(table.column(col), pa.scalar(val))
-        m = pc.fill_null(m, False)
+        if isinstance(val, dict):
+            # deep partial match against a JSON-string column (e.g.
+            # state_headers) — pc.equal(string, struct scalar) raises
+            def _row_ok(blob):
+                if not blob:
+                    return False
+                try:
+                    return _deep_match(val, _json.loads(blob))
+                except (ValueError, TypeError):
+                    return False
+            m = pa.array([_row_ok(b)
+                          for b in table.column(col).to_pylist()])
+        else:
+            m = pc.fill_null(pc.equal(table.column(col), pa.scalar(val)),
+                             False)
         mask = m if mask is None else pc.and_(mask, m)
     return mask if mask is not None else pa.array([True] * table.num_rows)
 
@@ -169,6 +216,10 @@ class FrontierQueue:
     def get(self, index: int) -> dict:
         """Row by queue position (src/queue.ts:145-155); RangeError parity
         -> IndexError past the end."""
+        if index < 0:
+            # RangeError parity: Arrow negative indexing would silently
+            # return rows from the END
+            raise IndexError("Index was greater than the queue's length")
         if self._is_table:
             t = self._table()
             if index >= t.num_rows:
@@ -189,21 +240,23 @@ class FrontierQueue:
         ported queue-manipulating code.  On a Dataset-backed queue the
         block holding the row is rewritten worker-side and its ref
         swapped — rows never gather to the driver."""
+        if index < 0:
+            raise IndexError("Index was greater than the queue's length")
         if not self._is_table:
             return self._update_dataset(index, updates)
         t = self._table()
         if index >= t.num_rows:
             raise IndexError("Index was greater than the queue's length")
         flat = _flatten_comparator(updates)
-        for col, val in flat.items():
+        for col in flat:
             if col not in t.column_names:
                 raise KeyError(f"unknown column {col!r}")
-            vals = t.column(col).to_pylist()
-            vals[index] = val
-            t = t.set_column(t.schema.get_field_index(col), col,
-                             pa.array(vals, t.schema.field(col).type))
-        self._data = t
-        return self.get(index)
+        # zero-copy slice patch (shared _patch_row) — the earlier
+        # per-updated-column to_pylist was O(n_rows) per update
+        from .pipelines.crawl import _patch_row
+
+        self._data, row = _patch_row(t, index, flat)
+        return row
 
     def _update_dataset(self, index: int, updates: dict) -> dict:
         import ray.data as rd
@@ -265,22 +318,49 @@ class FrontierQueue:
 
     # -- freeze/defrost (S3/S4) --------------------------------------------
     def freeze(self, path: str) -> None:
-        """Checkpoint the frontier; in-flight (spooled) rows re-queued first
-        (src/queue.ts:270-274)."""
-        t = self._table() if self._is_table else gather_concat(self._data)
-        status = t.column("status").to_pylist()
-        status = [STATUS_QUEUED if s == STATUS_SPOOLED else s for s in status]
-        t = t.set_column(t.schema.get_field_index("status"), "status",
-                         pa.array(status, pa.string()))
-        pq.write_table(t, path)
+        """Checkpoint the frontier; in-flight (spooled) rows re-queued
+        first (src/queue.ts:270-274).  Table backend: one file
+        (reference parity; driver-sized queues).  Dataset backend:
+        ``path`` becomes a DIRECTORY of per-block part files written
+        WORKER-side (atomic publish via rename) — the frontier never
+        gathers to the driver and a crash mid-write cannot corrupt an
+        existing checkpoint.  ``defrost`` reads either layout."""
+        if self._is_table:
+            t = self._table()
+            t = _requeue_spooled(t)
+            pq.write_table(t, path)
+            return
+        import os
+        import shutil
+
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        mat = self._data.materialize()
+        refs = [ref for b in mat.iter_internal_ref_bundles()
+                for ref, _meta in b.blocks]
+        ray.get([
+            _freeze_block.remote(r, os.path.join(tmp, f"part-{i:05d}.parquet"))
+            for i, r in enumerate(refs)])
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        os.replace(tmp, path)
+        self._data = mat
 
     @classmethod
     def defrost(cls, path: str) -> "FrontierQueue":
         return cls.from_parquet(path)
 
     def seen_hashes(self):
-        """url_hash column for seen-set replay on defrost."""
-        t = self._table() if self._is_table else gather_concat(self._data)
+        """url_hash column for seen-set replay on defrost — on the
+        dataset backend only the hash column transits the driver."""
+        if self._is_table:
+            t = self._table()
+        else:
+            t = gather_concat(
+                self._data.select_columns(["url_hash"]))
         return t.column("url_hash").to_numpy(zero_copy_only=False)
 
 

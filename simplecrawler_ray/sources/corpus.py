@@ -98,6 +98,12 @@ class CorpusReader:
             self._cache.move_to_end(b)
             return self._cache[b]
         path = os.path.join(self.dir, f"bucket={b}")
+        if not os.path.isdir(path):
+            # write_parquet only creates dirs for NON-EMPTY partitions:
+            # a URL hashing to an empty bucket is a miss (404), not a
+            # FileNotFoundError out of the fetch task
+            self._cache[b] = {}
+            return self._cache[b]
         t = pq.read_table(path)
         index = {u: i for i, u in enumerate(t.column("image_id").to_pylist())}
         self._cache[b] = index

@@ -43,11 +43,10 @@ def sanitise_path(path: str, content_type: str = "") -> str:
 
 def add_cache_path_column(batch: pa.Table) -> pa.Table:
     """Column transform: fetched rows -> mirror-file path."""
-    paths = batch.column("uri_path").to_pylist()
     cts = batch.column("state_content_type").to_pylist()
     qs = batch.column("path").to_pylist()
     out = []
-    for p, full, ct in zip(paths, qs, cts):
+    for full, ct in zip(qs, cts):
         # "path" carries path+query (urijs resource()); use it so the
         # querystring is hashed like the reference
         out.append(sanitise_path(full, ct or ""))

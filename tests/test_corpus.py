@@ -63,3 +63,25 @@ def test_sanitise_path():
     assert sanitise_path("/img/1", "image/png") == "img/1.png"
     long = "x" * 260
     assert len(sanitise_path(f"/{long}", "").split("/")[0]) == 40
+
+
+def test_corpus_reader_missing_bucket_is_a_miss(tmp_path, ray_session):
+    """A URL hashing to an empty (never-written) bucket is a 404, not a
+    FileNotFoundError out of the fetch task."""
+    from simplecrawler_ray.sources.corpus import CorpusReader, build_corpus
+    from simplecrawler_ray.sources.web import ScaleWeb
+
+    sw = ScaleWeb(n_pages=5)
+    d = str(tmp_path / "corpus")
+    build_corpus(sw, d, n_buckets=64, rows_per_block=10)
+    rd_ = CorpusReader(d, n_buckets=64)
+    # scan urls until one hashes to a bucket with no directory
+    import os
+
+    from simplecrawler_ray.sources.web import url_hash64
+    missing = {b for b in range(64)
+               if not os.path.isdir(os.path.join(d, f"bucket={b}"))}
+    assert missing  # 5 pages over 64 buckets must leave gaps
+    probe = next(u for u in (f"http://h{i}.test/x" for i in range(1000))
+                 if url_hash64(u) % 64 in missing)
+    assert rd_.lookup(probe) is None

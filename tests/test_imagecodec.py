@@ -271,3 +271,42 @@ def test_pillow_decoder_real_codec_gate():
         pa.table({"bytes": pa.array([blob], pa.binary())}))
     assert out.column("decode_error")[0].as_py() == ""
     assert out.column("img_w")[0].as_py() == arr.shape[1]
+
+
+def test_image_decode_stage_corrupt_blob_is_per_row(ray_session):
+    """A corrupt blob with a valid PNG signature (struct/zlib errors)
+    must fill decode_error, never kill the batch."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.imagecodec import encode_png
+    from simplecrawler_ray.functions.multimodal import ImageDecodeStage
+
+    good = encode_png(np.full((4, 4, 3), 7, np.uint8))
+    corrupt = good[:8] + b"\x00\x01\x02"          # signature ok, body junk
+    ds = rd.from_arrow(pa.table({"bytes": pa.array(
+        [good, corrupt, b"", None], pa.binary())}))
+    out = ds.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert out["decode_error"].tolist()[0] == ""
+    assert out["decode_error"][1] != ""           # reported, not raised
+    assert out["decode_error"].tolist()[2:] == ["empty", "empty"]
+    assert out["phash_decoded"][0] != 0
+
+
+def test_audio_stage_malformed_and_empty_per_row(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.audiocodec import encode_wav
+    from simplecrawler_ray.functions.multimodal import AudioFeatureStage
+
+    good = encode_wav(np.sin(np.linspace(0, 20, 400)).astype(np.float32))
+    truncated = b"RIFF" + b"\x04\x00\x00\x00" + b"WAVEfmt " + b"\x04\x00\x00\x00"
+    ds = rd.from_arrow(pa.table({"bytes": pa.array(
+        [good, truncated, b"", None], pa.binary())}))
+    out = ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
+    assert out["audio_decode_error"][0] == ""
+    assert out["audio_decode_error"][1] != ""     # struct.error per-row
+    assert out["audio_decode_error"].tolist()[2:] == ["empty", "empty"]

@@ -231,3 +231,46 @@ def test_update_on_pandas_block_queue():
     assert q.get_length() == n
     assert q.get(0)["state_code"] == 555
     assert q.count_items({"stateData": {"code": 555}}) == 1
+
+
+def test_negative_index_raises():
+    q = FrontierQueue(fixture_table())
+    with pytest.raises(IndexError):
+        q.get(-1)
+    with pytest.raises(IndexError):
+        q.update(-1, {"status": "queued"})
+
+
+def test_headers_deep_compare():
+    import json as _json
+
+    t = fixture_table()
+    hdrs = [_json.dumps({"content-type": "text/html", "server": "x"}),
+            _json.dumps({"content-type": "application/json"}),
+            "", None]
+    t = t.set_column(t.schema.get_field_index("state_headers"),
+                     "state_headers", pa.array(hdrs, pa.string()))
+    q = FrontierQueue(t)
+    # partial match on the JSON headers column (reference deep compare)
+    assert q.count_items(
+        {"stateData": {"headers": {"content-type": "text/html"}}}) == 1
+    assert q.count_items(
+        {"stateData": {"headers": {"server": "x"}}}) == 1
+    assert q.count_items(
+        {"stateData": {"headers": {"server": "nope"}}}) == 0
+
+
+def test_freeze_dataset_backend_writes_parts(tmp_path):
+    import os
+
+    import ray.data as rd
+
+    t = fixture_table()
+    q = FrontierQueue(rd.from_arrow(t).repartition(2))
+    path = str(tmp_path / "frozen")
+    q.freeze(path)
+    assert os.path.isdir(path)           # per-block parts, not one file
+    assert len(os.listdir(path)) >= 1
+    back = FrontierQueue.defrost(path)
+    assert back.get_length() == t.num_rows
+    assert back.count_items({"status": "spooled"}) == 0
