@@ -54,13 +54,33 @@ def _loop() -> asyncio.AbstractEventLoop:
     return _LOOP
 
 
+_SHAPE_CACHE: dict = {}
+
+
 def _positional_params(fn: Callable):
+    """Positional parameters of a condition, cached per callable —
+    signature() costs ~10us and eval_condition runs per candidate row
+    in the hot loop; a condition's shape never changes."""
+    try:
+        return _SHAPE_CACHE[fn]
+    except TypeError:
+        pass  # unhashable callable: inspect every time
+    except KeyError:
+        pass
     try:
         params = inspect.signature(fn).parameters.values()
     except (TypeError, ValueError):
-        return None
-    return [p for p in params
-            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+        out = None
+    else:
+        out = [p for p in params
+               if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)]
+    try:
+        if len(_SHAPE_CACHE) > 10_000:
+            _SHAPE_CACHE.clear()
+        _SHAPE_CACHE[fn] = out
+    except TypeError:
+        pass
+    return out
 
 
 class ConditionError(RuntimeError):
@@ -99,7 +119,19 @@ def eval_condition(cond: Callable, queue_item: dict,
     if inspect.iscoroutinefunction(cond):
         return bool(_loop().run_until_complete(cond(queue_item)))
     params = _positional_params(cond)
-    arity = len(params) if params is not None else 1
+    # classify by REQUIRED positional arity: defaulted extras (e.g.
+    # cond(qi, ref=None, verbose=False)) must not be mistaken for the
+    # reference's (queue_item, referrer_item, callback) shape — that
+    # mistake blocked CALLBACK_TIMEOUT per row then errored every row
+    arity = (len([p for p in params if p.default is p.empty])
+             if params is not None else 1)
+    if params is not None and arity < len(params):
+        # optional params only count toward the shape when the last
+        # one is callback-named (a deliberately-defaulted callback)
+        if params[len(params) - 1].name in _CALLBACK_PARAM_NAMES:
+            arity = len(params)
+        elif arity < 2 <= len(params):
+            arity = 2  # (qi, ref=None, ...) keeps the two-arg shape
     if arity >= 3:
         # reference shape: cond(queue_item, referrer_item, callback)
         return _run_callback_style(cond, (queue_item, referrer_item), timeout)

@@ -816,7 +816,8 @@ class CrawlEngine:
         return (self._frontier.gather() if self._frontier is not None
                 else self.queued)
 
-    def _fetch_robots(self, hosts: set[str]) -> pa.Table | None:
+    def _fetch_robots(self, hosts: set[str],
+                      schemes: "dict[str, str] | None" = None) -> pa.Table | None:
         """Fetch+parse robots.txt for new hosts.  Driver-side by default
         (one tiny GET per host per crawl; hosts << URLs); with
         ``robots_pool_shards`` > 0 the fetching itself is distributed
@@ -841,7 +842,8 @@ class CrawlEngine:
             new_hosts = [hk for hk in sorted(hosts) if hk not in self.robots_cache]
             if not new_hosts:
                 return None
-            self.robots_cache.update(self._robots_pool.ensure(new_hosts))
+            self.robots_cache.update(
+                self._robots_pool.ensure(new_hosts, schemes))
             cap = self.cfg["robots_cache_max_hosts"]
             if cap and len(self.robots_cache) > cap:
                 # bound driver memory: evict oldest entries not needed by
@@ -860,42 +862,24 @@ class CrawlEngine:
                 for rurl, sm in self._robots_pool.drain_sitemaps()
             ]
             return candidate_table(sitemap_cands) if sitemap_cands else None
+        # driver-side small-scale path: same shared fetch implementation
+        # as the sharded pool (state/robots_pool._fetch_and_parse), so
+        # redirect/scheme/parse behavior cannot drift between the two
+        from ..state.robots_pool import _fetch_and_parse
+
         sitemap_cands = []
+        ua = self.cfg.get("user_agent", "*")
         for hk in sorted(hosts):
             if hk in self.robots_cache:
                 continue
-            host, _, port = hk.partition(":")
-            portpart = f":{port}" if port else ""
-            rurl = f"http://{host}{portpart}/robots.txt"
-            resp = self.web.get(rurl)
-            hops = 0
-            while resp is not None and resp.code in range(300, 400) and resp.headers.get("Location") and hops < 5:
-                loc = resp.headers["Location"]
-                target = process_url(loc, rurl)
-                if target is None or host_key(target.url) != hk:
-                    self.robots_errors.append(
-                        f"Robots.txt for {hk} redirected to a disallowed domain: {loc}"
-                    )
-                    self._count("robotstxterror")
-                    resp = None
-                    break
-                rurl = target.url
-                resp = self.web.get(rurl)
-                hops += 1
-            if resp is None or resp.code != 200:
-                # no rules recorded: urlIsAllowed finds nothing -> allow
-                self.robots_cache[hk] = RobotsRules(url=rurl)
-                continue
-            try:
-                text = resp.body.decode("utf-8", errors="replace")
-                rules = RobotsRules.parse(rurl, text,
-                                          self.cfg.get("user_agent", "*"))
-            except Exception:
-                rules = RobotsRules.error_rules(rurl)
+            rules, sitemaps, err = _fetch_and_parse(
+                self.web, hk, ua, scheme=(schemes or {}).get(hk))
+            if err:
+                self.robots_errors.append(err)
                 self._count("robotstxterror")
             self.robots_cache[hk] = rules
-            for sm in rules.sitemaps:
-                sitemap_cands.append(dict(candidate=sm, referrer_url=rurl,
+            for sm in sitemaps:
+                sitemap_cands.append(dict(candidate=sm, referrer_url=rules.url,
                                           referrer_depth=0, parent_seq=-1, pos=0))
         return candidate_table(sitemap_cands) if sitemap_cands else None
 
@@ -1009,7 +993,8 @@ class CrawlEngine:
               hks = [f"{h}:{p or ''}"
                      for h, p in zip(wave.column("host").to_pylist(),
                                      wave.column("port").to_pylist())]
-              sitemaps = self._fetch_robots(set(hks))
+              schemes = dict(zip(hks, wave.column("protocol").to_pylist()))
+              sitemaps = self._fetch_robots(set(hks), schemes)
               if sitemaps is not None:
                   proc = CandidateProcessor(self.cfg, self.robots_cache)
                   self._admit_candidates(proc(sitemaps))
@@ -1290,9 +1275,12 @@ class CrawlEngine:
                     # robots keys match CandidateProcessor: "host:port"
                     # built from the frontier columns (NOT host_key(), which
                     # expects a full URL — see round-1 advice)
-                    hosts = {f"{h}:{p or ''}"
-                             for h, p in zip(wave.column("host").to_pylist(),
-                                             wave.column("port").to_pylist())}
+                    hklist = [f"{h}:{p or ''}"
+                              for h, p in zip(wave.column("host").to_pylist(),
+                                              wave.column("port").to_pylist())]
+                    hosts = set(hklist)
+                    schemes = dict(zip(hklist,
+                                       wave.column("protocol").to_pylist()))
                     hosts_new = hosts - self.robots_cache.keys()
                     if hosts_new:
                         # pass the FULL wave host set: _fetch_robots only
@@ -1300,7 +1288,7 @@ class CrawlEngine:
                         # `k in hosts` — passing just hosts_new could evict
                         # a current-wave host's rules, and the recheck
                         # below would treat it as allowed
-                        sitemaps = self._fetch_robots(hosts)
+                        sitemaps = self._fetch_robots(hosts, schemes)
                         if sitemaps is not None:
                             proc = CandidateProcessor(self.cfg, self.robots_cache)
                             self._admit_candidates(proc(sitemaps))

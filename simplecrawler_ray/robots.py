@@ -56,7 +56,10 @@ class RobotsRules:
                 if not last_was_agent and cur_agents:
                     groups.append((cur_agents, cur_rules))
                     cur_agents, cur_rules = [], []
-                cur_agents.append(val.lower())
+                if val:
+                    # a bare "User-agent:" is malformed; recording "" would
+                    # substring-match EVERY crawler and outrank "*"
+                    cur_agents.append(val.lower())
                 last_was_agent = True
             elif key in ("allow", "disallow"):
                 last_was_agent = False
@@ -65,6 +68,10 @@ class RobotsRules:
             elif key == "sitemap":
                 last_was_agent = False
                 rules.sitemaps.append(val)
+            # any other directive (crawl-delay, host...) is IGNORED as if
+            # absent (RFC 9309 §2.2.4) — so "UA: a / crawl-delay / UA: b"
+            # still forms ONE group with both agents, matching the RFC
+            # (some parsers instead end the agent list at any directive)
         if cur_agents:
             groups.append((cur_agents, cur_rules))
 

@@ -162,7 +162,12 @@ class HttpWeb:
     # ----------------------------------------------------------- headers
 
     def _headers(self, request_headers: Optional[dict]) -> dict:
-        h = {"user-agent": self.user_agent, **self.custom_headers}
+        # keys normalize to lowercase: the Fetcher's request_headers
+        # already carry custom headers lowercased, so re-merging them in
+        # original case would emit duplicate wire lines (two X-Api-Key /
+        # User-Agent headers)
+        h = {"user-agent": self.user_agent,
+             **{k.lower(): v for k, v in self.custom_headers.items()}}
         if self.auth_user is not None:
             cred = f"{self.auth_user}:{self.auth_pass or ''}"
             h["authorization"] = "Basic " + base64.b64encode(cred.encode()).decode()
@@ -172,7 +177,8 @@ class HttpWeb:
             cred = f"{self.proxy_user}:{self.proxy_pass or ''}"
             h["proxy-authorization"] = ("Basic "
                                         + base64.b64encode(cred.encode()).decode())
-        h.update(request_headers or {})
+        for k, v in (request_headers or {}).items():
+            h[k.lower()] = v
         return h
 
     # -------------------------------------------------------------- fetch

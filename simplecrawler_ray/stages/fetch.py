@@ -73,7 +73,12 @@ def decode_body(body: bytes, content_type: str = "") -> str:
     """decodeBuffer src/crawler.ts:1105-1112: charset from Content-Type
     header, else <meta charset> in first 512 bytes, else utf8."""
     m = _CHARSET_META_RE.search(body[:512].decode("utf-8", errors="replace"))
-    header_cs = content_type.split("charset=")[1] if "charset=" in content_type else None
+    # charset token only: trailing parameters ("; boundary=x"), quotes
+    # and case previously rode along, failed the codec lookup, and
+    # silently mis-decoded the body as utf-8
+    hm = re.search(r"charset=[\"']?([^;\s\"']+)", content_type,
+                   re.IGNORECASE)
+    header_cs = hm.group(1) if hm else None
     encoding = header_cs or (m.group(1) if m else None) or "utf-8"
     try:
         return body.decode(encoding, errors="replace")
@@ -81,19 +86,30 @@ def decode_body(body: bytes, content_type: str = "") -> str:
         return body.decode("utf-8", errors="replace")
 
 
-def decompress_body(body: bytes, content_encoding: str) -> tuple[bytes, bool]:
+def decompress_body(body: bytes, content_encoding: str,
+                    max_size: int = 0) -> tuple[bytes, bool]:
     """gzip/deflate decompression (src/crawler.ts:1786-1802).
-    Returns (data, gzip_error)."""
+    Returns (data, gzip_error).  ``max_size`` bounds the DECOMPRESSED
+    output: the wire-size cap alone lets a small gzip body (zip bomb)
+    inflate to gigabytes in worker memory — past the cap the payload
+    is reported as a gzip error instead of materializing."""
     ce = (content_encoding or "").lower()
-    if ce in ("gzip", "deflate"):
+    if ce not in ("gzip", "deflate"):
+        return body, False
+    for wbits in (47, -15):  # auto-detect zlib/gzip, then raw deflate
         try:
-            return zlib.decompress(body, wbits=47), False  # auto-detect zlib/gzip
-        except zlib.error:
-            try:
-                return zlib.decompress(body, wbits=-15), False  # raw deflate
-            except zlib.error:
+            d = zlib.decompressobj(wbits=wbits)
+            out = d.decompress(body, max_size if max_size > 0 else 0)
+            if max_size > 0 and (d.unconsumed_tail or
+                                 len(out) >= max_size and not d.eof):
+                return body, True  # decompressed size exceeds the cap
+            out += d.flush()
+            if max_size > 0 and len(out) > max_size:
                 return body, True
-    return body, False
+            return out, False
+        except zlib.error:
+            continue
+    return body, True
 
 
 # Worker-process-local cache for task-based map_batches: the BSP round
@@ -339,7 +355,9 @@ class Fetcher:
                     dispositions[i] = "fetchdataerror"
                     continue
 
-                data, gzip_err = decompress_body(body, resp.headers.get("Content-Encoding", ""))
+                data, gzip_err = decompress_body(
+                    body, resp.headers.get("Content-Encoding", ""),
+                    max_size=self.max_resource_size)
                 if gzip_err:
                     error_flags[i] = (error_flags[i] + ",gziperror").lstrip(",")
 

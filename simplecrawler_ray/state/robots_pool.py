@@ -21,12 +21,22 @@ from ..sources.web import url_hash64
 from ..urlnorm import process_url
 
 
-def _fetch_and_parse(web, hk: str, user_agent: str) -> tuple[RobotsRules, list[str], str]:
+def _fetch_and_parse(web, hk: str, user_agent: str,
+                     scheme: "str | None" = None) -> tuple[RobotsRules, list[str], str]:
     """One robots.txt fetch+parse (redirect-following; cross-domain
-    redirect => error entry).  Returns (rules, sitemaps, error_msg)."""
+    redirect => error entry).  Returns (rules, sitemaps, error_msg).
+
+    THE robots-fetch implementation — the driver cache path
+    (pipelines/crawl.py ``_fetch_robots``) and the sharded pool both
+    call it, so fixes apply to both.  ``scheme`` comes from the
+    frontier rows' protocol column; unset, port 443 implies https
+    (plaintext HTTP against a TLS port would fail and silently yield
+    allow-all rules)."""
     host, _, port = hk.partition(":")
     portpart = f":{port}" if port else ""
-    rurl = f"http://{host}{portpart}/robots.txt"
+    if scheme is None:
+        scheme = "https" if port == "443" else "http"
+    rurl = f"{scheme}://{host}{portpart}/robots.txt"
     resp = web.get(rurl)
     hops = 0
     from ..robots import host_key
@@ -60,13 +70,16 @@ class RobotsShard:
         self.sitemaps: list[tuple[str, str]] = []   # (robots_url, sitemap)
         self.errors: list[str] = []
 
-    def ensure(self, host_keys: list[str]) -> dict:
+    def ensure(self, host_keys: list[str],
+               schemes: "dict[str, str] | None" = None) -> dict:
         """Fetch-once-per-host; returns {host_key: RobotsRules}."""
         out = {}
         for hk in host_keys:
             r = self.rules.get(hk)
             if r is None:
-                r, sitemaps, err = _fetch_and_parse(self.web, hk, self.user_agent)
+                r, sitemaps, err = _fetch_and_parse(
+                    self.web, hk, self.user_agent,
+                    scheme=(schemes or {}).get(hk))
                 self.rules[hk] = r
                 for sm in sitemaps:
                     self.sitemaps.append((r.url, sm))
@@ -98,11 +111,15 @@ class RobotsPool:
     def _shard_of(self, hk: str) -> int:
         return url_hash64(hk) % self.num_shards
 
-    def ensure(self, host_keys: "set[str] | list[str]") -> dict:
+    def ensure(self, host_keys: "set[str] | list[str]",
+               schemes: "dict[str, str] | None" = None) -> dict:
         by_shard: dict[int, list[str]] = {}
         for hk in host_keys:
             by_shard.setdefault(self._shard_of(hk), []).append(hk)
-        refs = [self.shards[s].ensure.remote(hks) for s, hks in by_shard.items()]
+        refs = [self.shards[s].ensure.remote(
+                    hks, {h: schemes[h] for h in hks if h in schemes}
+                    if schemes else None)
+                for s, hks in by_shard.items()]
         out: dict = {}
         for d in ray.get(refs):
             out.update(d)

@@ -539,11 +539,18 @@ def process_url(url: str, referrer_url: "str|Uri" = "",
                 new.query = _to_iso8859(new.query)
     except (ValueError, UnicodeDecodeError):
         return None
+    try:
+        # a malformed port ("http://h:8o80/") must be a None return like
+        # every other unparseable URL, not a ValueError escaping into
+        # robots/candidate processing
+        port = int(new.port) if new.port else 0
+    except ValueError:
+        return None
     return UrlRow(
         url=new.href(),
         protocol=new.protocol or "http",
         host=new.hostname or "",
-        port=int(new.port) if new.port else 0,
+        port=port,
         path=new.resource(),
         uri_path=new.path,
         depth=referrer_depth + 1,

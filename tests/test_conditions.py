@@ -112,3 +112,30 @@ def test_sync_two_arg_typeerror_inside_body_not_masked():
 
     with pytest.raises(TypeError):
         eval_condition(cond, QI, REF)
+
+
+def test_sync_condition_with_defaulted_extras_is_not_callback():
+    """cond(qi, ref=None, verbose=False) is a SYNC condition — the old
+    total-arity rule classified it callback-style, blocking the 10s
+    timeout per row and erroring every candidate."""
+    import time
+
+    from simplecrawler_ray.conditions import eval_condition
+
+    def cond(queue_item, referrer=None, verbose=False):
+        return queue_item["path"] != "/blocked"
+
+    t0 = time.time()
+    assert eval_condition(cond, {"path": "/ok"}, {"path": "/r"}) is True
+    assert eval_condition(cond, {"path": "/blocked"}) is False
+    assert time.time() - t0 < 2.0  # no callback-timeout stall
+
+
+def test_defaulted_callback_param_still_callback_style():
+    from simplecrawler_ray.conditions import eval_condition
+
+    def cond(queue_item, referrer_item, done=None):
+        done(None, queue_item["path"] == "/yes")
+
+    assert eval_condition(cond, {"path": "/yes"}, {}) is True
+    assert eval_condition(cond, {"path": "/no"}, {}) is False

@@ -1055,3 +1055,41 @@ def test_disallowed_rows_survive_resume(web, tmp_path):
     dis = t2[t2["url"] == "http://127.0.0.1:3001/disallowed"]
     assert len(dis) == 1 and dis["status"].iloc[0] == "disallowed"
     eng2.seen.shutdown()
+
+
+def test_robots_blank_user_agent_does_not_match_everything():
+    from simplecrawler_ray.robots import RobotsRules
+
+    r = RobotsRules.parse("http://h/robots.txt",
+                          "User-agent:\nDisallow: /\n"
+                          "User-agent: *\nAllow: /\n",
+                          "simplecrawler-ray")
+    assert r.is_allowed("http://h/x")
+
+
+def test_process_url_malformed_port_returns_none():
+    from simplecrawler_ray.urlnorm import process_url
+
+    assert process_url("http://example.com:8o80/x",
+                       "http://example.com/") is None
+
+
+def test_decode_body_charset_with_parameters():
+    from simplecrawler_ray.stages.fetch import decode_body
+
+    body = "café".encode("iso-8859-1")
+    assert decode_body(body, "text/html; charset=iso-8859-1; boundary=x") == "café"
+    assert decode_body(body, 'text/html; Charset="ISO-8859-1"') == "café"
+
+
+def test_decompress_body_bounds_zip_bombs():
+    import zlib
+
+    from simplecrawler_ray.stages.fetch import decompress_body
+
+    bomb = zlib.compress(b"\x00" * (8 * 1024 * 1024))
+    out, err = decompress_body(bomb, "deflate", max_size=1024 * 1024)
+    assert err  # reported, not materialized
+    data, err = decompress_body(zlib.compress(b"ok"), "deflate",
+                                max_size=1024)
+    assert (data, err) == (b"ok", False)
