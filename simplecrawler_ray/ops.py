@@ -775,6 +775,10 @@ def _block_key_counts(block, key_col: str):
     """Per-block run-length key counts of a (key-)sorted block."""
     if isinstance(block, pd.DataFrame):
         block = pa.Table.from_pandas(block, preserve_index=False)
+    if block.num_rows == 0 or key_col not in block.column_names:
+        # Ray can emit empty blocks with NO columns at all (observed
+        # downstream of sorts in long sessions) — zero keys either way
+        return [], []
     keys = block.column(key_col).to_pandas().to_numpy()
     if not len(keys):
         return [], []
