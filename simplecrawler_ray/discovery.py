@@ -126,7 +126,8 @@ def clean_expand_resources(
         if raw in seen_raw:
             continue
         seen_raw.add(raw)
-        ck = (raw, referrer_protocol) if cacheable_abs and "://" in raw else None
+        ck = ((raw, referrer_protocol)
+              if cacheable_abs and _SCHEME_RE.match(raw) else None)
         if ck is not None:
             hit = _ABS_CLEAN_CACHE.get(ck, _UNSET)
             if hit is not _UNSET:
@@ -153,6 +154,11 @@ def clean_expand_resources(
             out.append(url)
     return out
 
+
+# TRULY absolute URLs only: a substring "://" test would cache-key
+# relative raws like "?next=http://x.com/" (scheme appears in the
+# query), serving one referrer's resolution to every other referrer
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 _ABS_CLEAN_CACHE: dict = {}
 _UNSET = object()

@@ -91,15 +91,18 @@ def decode_png(data: bytes) -> np.ndarray:
         elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right scan
             cur = out[y]
             for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
+                # plain python ints: mixing a python p with np.uint16
+                # operands raises (negative p) or silently wraps under
+                # NumPy 2's NEP-50 promotion, corrupting Paeth rows
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 if f == 1:
                     pred = a
                 elif f == 3:
                     pred = (a + b) >> 1
                 else:
-                    p = int(a) + int(b) - int(c)
+                    p = a + b - c
                     pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else c)
                 cur[x] = (line[x] + pred) & 0xFF
@@ -176,8 +179,9 @@ def decode_fakejpeg(data: bytes) -> np.ndarray:
     scale = (5000.0 / quality if quality < 50 else 200.0 - 2 * quality) / 100.0
     q = np.clip(np.floor(_QTABLE * scale + 0.5), 1, 255).astype(np.float32)
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    nblocks = (ph // 8) * (pw // 8)
     raw = np.frombuffer(zlib.decompress(data[14:]), np.int16)
+    if raw.size != 3 * (ph // 8) * (pw // 8) * 64:
+        raise ValueError("truncated FJPG payload")
     chans = raw.reshape(3, ph // 8, pw // 8, 8, 8).astype(np.float32)
     out = np.zeros((ph, pw, 3), np.float32)
     for c in range(3):

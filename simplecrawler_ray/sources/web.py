@@ -301,8 +301,12 @@ class ScaleWeb:
         s = self.image_side
         g = _splitmix64(np.arange(s * s * 3, dtype=np.uint64) + np.uint64(i * 7919 + self.seed))
         noise = (g & np.uint64(0xFF)).astype(np.float32).reshape(s, s, 3)
-        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
-        base = np.stack([(yy + i) % 256, (xx * 2 + i) % 256, (yy + xx) % 256], axis=2)
+        # int64 base: float32 can't represent consecutive ints past 2^24,
+        # so pages beyond ~16.7M would collapse to near-identical images
+        # (identical for i < 2^24, where float32 was still exact)
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.int64)
+        base = np.stack([(yy + i) % 256, (xx * 2 + i) % 256,
+                         (yy + xx) % 256], axis=2).astype(np.float32)
         return np.clip(0.85 * base + 0.15 * noise, 0, 255).astype(np.uint8)
 
     def fmt_of(self, i: int) -> str:

@@ -19,6 +19,8 @@ import ray
 
 from ..robots import RobotsRules
 from ..sources.web import url_hash64
+from ..conditions import eval_condition
+from ..discovery import _SCHEME_RE
 from ..urlnorm import CanonOpts, domain_valid, process_url
 from ..schemas import frontier_row_defaults
 
@@ -159,7 +161,7 @@ class CandidateProcessor:
                 base = Uri.parse(ref or "")
                 ref_cache[ref] = base
             cand = cands[i]
-            absolute = "://" in cand
+            absolute = bool(_SCHEME_RE.match(cand))
             hit = self._row_cache.get(cand, _unset) if absolute else _unset
             if hit is _unset:
                 row = process_url(cand, base, rdepths[i], self.canon,
@@ -199,8 +201,6 @@ class CandidateProcessor:
                     "port": row.port, "protocol": row.protocol, "depth": depth,
                     "referrer": ref,
                 }
-                from ..conditions import eval_condition
-
                 # two-arg conditions get the referrer item — the
                 # reference's (queueItem, referrerQueueItem) shape
                 ref_item = {"url": ref, "depth": depth - 1} if ref else None

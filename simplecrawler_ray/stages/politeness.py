@@ -87,6 +87,11 @@ def politeness_dequeue_ds(
         empty = _empty_like(queued)
         return empty, remainder, empty
     wave = pa.concat_tables(wave_tables, promote_options="default")
+    if not hot:
+        # no salted hosts: every bucket IS its host and take_budget
+        # already capped each at exactly `budget` sorted-by-seq rows —
+        # skip the wave-sized pandas sort/groupby round-trip
+        return wave, remainder, _empty_like(queued)
     # enforce the exact per-host cap across a hot host's salted buckets
     df = wave.to_pandas()
     taken = df.sort_values("seq").groupby("host", sort=False).head(budget)

@@ -546,6 +546,10 @@ def process_url(url: str, referrer_url: "str|Uri" = "",
         port = int(new.port) if new.port else 0
     except ValueError:
         return None
+    if not 0 <= port <= 65535:
+        # out-of-range ports are invalid URLs; letting one through
+        # crashes the whole candidate batch at the int32 Arrow cast
+        return None
     return UrlRow(
         url=new.href(),
         protocol=new.protocol or "http",

@@ -138,3 +138,46 @@ def test_srcset():
 def test_nofollow():
     assert discover("<meta name='robots' content='nofollow'><a href='/stage2'>Don't follow me!</a>") == []
     assert discover("<meta name='robots' content='nofollow, noindex'><a href='/stage2'>Don't follow me!</a>") == []
+
+
+def test_relative_url_with_embedded_scheme_not_cached_cross_referrer():
+    """'?next=http://x.com/' is RELATIVE (the scheme is in the query);
+    the old substring test cached hostA's resolution and served it to
+    every other referrer."""
+    from simplecrawler_ray.discovery import clean_expand_resources
+
+    a = clean_expand_resources(["?next=http://x.com/"],
+                               "http://hosta.com/page")
+    b = clean_expand_resources(["?next=http://x.com/"],
+                               "http://hostb.com/page")
+    assert a and b
+    assert "hosta.com" in a[0] and "hostb.com" in b[0]
+
+
+def test_candidate_row_cache_not_poisoned_cross_referrer():
+    from simplecrawler_ray.stages.candidates import (CandidateProcessor,
+                                                     candidate_table)
+
+    proc = CandidateProcessor({"filter_by_domain": False,
+                               "respect_robots_txt": False}, {})
+    t = candidate_table([
+        dict(candidate="?next=http://x.com/",
+             referrer_url="http://hosta.com/page", referrer_depth=1,
+             parent_seq=0, pos=0),
+        dict(candidate="?next=http://x.com/",
+             referrer_url="http://hostb.com/page", referrer_depth=1,
+             parent_seq=0, pos=1),
+    ])
+    out = proc(t)
+    hosts = sorted(out.column("host").to_pylist())
+    assert hosts == ["hosta.com", "hostb.com"]
+
+
+def test_process_url_rejects_out_of_range_port():
+    from simplecrawler_ray.urlnorm import process_url
+
+    assert process_url("http://h.com:99999999999/x",
+                       "http://h.com/") is None
+    assert process_url("http://h.com:65536/x", "http://h.com/") is None
+    row = process_url("http://h.com:65535/x", "http://h.com/")
+    assert row is not None and row.port == 65535
