@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 
@@ -139,18 +140,35 @@ def cm_query(cm: np.ndarray, values: "pd.Series|np.ndarray") -> np.ndarray:
 
 def heavy_hitters(ds: rd.Dataset, col: str, k: int = 10,
                   candidates_per_block: int = 64,
-                  w: int = 8192, d: int = 4) -> "pd.DataFrame":
+                  w: int = 8192, d: int = 4,
+                  two_pass: bool = False) -> "pd.DataFrame":
     """Approximate top-k most frequent values in FIXED driver memory.
 
     Each block contributes a 256 KiB Count-Min partial plus its local
     top-``candidates_per_block`` values; the driver merges the
     sketches (elementwise add) and ranks the candidate union by
-    CM-estimated count.  Estimates never undercount; a value in the
-    true top-k whose count exceeds one block's local cut is always a
-    candidate.  Unlike an exact groupby-count, state is O(w*d +
-    candidates), independent of key cardinality — the 10^10-URL
-    "top hosts" shape.  Returns (value, est) sorted desc, est desc /
-    value asc ties.
+    CM-estimated count.  Estimates never undercount.
+
+    Recall condition (single pass): a value is a candidate only if it
+    lands in SOME block's local top-``candidates_per_block``.  A true
+    top-k value spread so thinly that it never makes any block's local
+    cut is missed, despite the never-undercounting sketch — more
+    blocks make that more likely, so scale ``candidates_per_block``
+    with block count (or shrink block count) when key frequencies are
+    near-uniform.
+
+    ``two_pass=True`` closes the gap with one extra scan: the merged
+    sketch is broadcast (``ray.put`` once, zero-copy in every task)
+    and each block re-emits its distinct values whose CM estimate
+    reaches the k-th first-pass candidate estimate.  The result is
+    then EXACTLY the top-k by CM estimate over all distinct values —
+    any value excluded by pass 2 has est below the k-th ranked est, so
+    it cannot displace a winner.  Residual error is only the CM
+    overcount itself (bounded, one-sided).
+
+    Unlike an exact groupby-count, state is O(w*d + candidates),
+    independent of key cardinality — the 10^10-URL "top hosts" shape.
+    Returns (value, est) sorted desc, est desc / value asc ties.
     """
     def partial(batch: pa.Table) -> pa.Table:
         s = batch.column(col).to_pandas()
@@ -172,6 +190,23 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 10,
                    for p in parts])
     cands = sorted({c for p in parts for c in p["cands"]})
     est = cm_query(cm, pd.Series(cands))
+    if two_pass and len(cands):
+        ranked = np.sort(est)[::-1]
+        threshold = int(ranked[min(k, len(ranked)) - 1])
+        cm_ref = ray.put(cm)
+
+        def rescan(batch: pa.Table) -> pa.Table:
+            s = batch.column(col).to_pandas().drop_duplicates()
+            keep = cm_query(ray.get(cm_ref), s) >= threshold
+            return pa.Table.from_pydict({"v": s[keep].tolist()})
+
+        extra = ds.select_columns([col]).map_batches(
+            rescan, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        more = {r["v"] for r in extra} - set(cands)
+        if more:
+            more = sorted(more)
+            cands = cands + more
+            est = np.concatenate([est, cm_query(cm, pd.Series(more))])
     out = (pd.DataFrame({col: cands, "est": est})
            .sort_values(["est", col], ascending=[False, True])
            .head(k).reset_index(drop=True))

@@ -631,21 +631,45 @@ def _ints_to_bin(col: "pa.ChunkedArray|pa.Array", np_dtype) -> pa.Array:
     """Encode a 64-bit int column as 8-byte binary so it survives the
     pandas null-padding round-trip EXACTLY (int64 with nulls widens to
     float64, silently corrupting values past 2^53 — e.g. this repo's
-    own 64-bit content/sim hashes)."""
-    v = np.ascontiguousarray(
-        col.to_numpy(zero_copy_only=False).astype(np_dtype))
+    own 64-bit content/sim hashes).
+
+    Genuine nulls keep their validity bitmap (a null slot stays null in
+    the binary column) instead of materializing as NaN->INT64_MIN."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_null = col.null_count
+    if n_null:
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        v = np.ascontiguousarray(pc.fill_null(col, 0)
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np_dtype))
+        validity_buf = pa.array(valid).buffers()[1]
+    else:
+        v = np.ascontiguousarray(
+            col.to_numpy(zero_copy_only=False).astype(np_dtype))
+        validity_buf = None
     # fixed_size_binary, NOT numpy "S8": S-strings strip trailing NUL
     # bytes, truncating any value whose little-endian high bytes are 0
     return pa.Array.from_buffers(pa.binary(8), len(v),
-                                 [None, pa.py_buffer(v.tobytes())])
+                                 [validity_buf, pa.py_buffer(v.tobytes())],
+                                 null_count=n_null)
 
 
-def _bin_to_ints(series: "pd.Series", np_dtype) -> np.ndarray:
-    """Decode non-null 8-byte binary values back to their int dtype."""
+def _bin_to_ints(series: "pd.Series", np_dtype):
+    """Decode 8-byte binary values back to their int dtype; null slots
+    (genuine nulls carried through `_ints_to_bin`) come back as pd.NA
+    in a pandas nullable integer array."""
     vals = series.to_numpy()
     if not len(vals):
         return np.array([], dtype=np_dtype)
-    return np.frombuffer(b"".join(vals), dtype=np_dtype)
+    isna = pd.isna(vals)
+    if not isna.any():
+        return np.frombuffer(b"".join(vals), dtype=np_dtype)
+    out = np.zeros(len(vals), dtype=np_dtype)
+    ok = ~isna
+    if ok.any():
+        out[ok] = np.frombuffer(b"".join(vals[ok]), dtype=np_dtype)
+    return pd.arrays.IntegerArray(out, mask=isna)
 
 
 def semi_anti_join(left: rd.Dataset, right: rd.Dataset, on: str,

@@ -128,6 +128,18 @@ def _host_bucket(host: str, n_buckets: int) -> int:
         "little") % n_buckets
 
 
+def _robots_schemes(hklist: list, protocols: list) -> dict:
+    """host:port -> scheme for the robots.txt fetch, deterministic when
+    one host key appears with both http and https rows in a wave:
+    https wins (a plain dict(zip(...)) was last-write-wins, so the
+    robots fetch scheme depended on row order)."""
+    schemes: dict = {}
+    for hk, proto in zip(hklist, protocols):
+        if hk not in schemes or proto == "https":
+            schemes[hk] = proto
+    return schemes
+
+
 @ray.remote
 def _adopt_frontier_block(block, n_buckets: int):
     """Worker-side adoption of one turbo-output block into the bucketed
@@ -993,7 +1005,8 @@ class CrawlEngine:
               hks = [f"{h}:{p or ''}"
                      for h, p in zip(wave.column("host").to_pylist(),
                                      wave.column("port").to_pylist())]
-              schemes = dict(zip(hks, wave.column("protocol").to_pylist()))
+              schemes = _robots_schemes(hks,
+                                        wave.column("protocol").to_pylist())
               sitemaps = self._fetch_robots(set(hks), schemes)
               if sitemaps is not None:
                   proc = CandidateProcessor(self.cfg, self.robots_cache)
@@ -1279,8 +1292,8 @@ class CrawlEngine:
                               for h, p in zip(wave.column("host").to_pylist(),
                                               wave.column("port").to_pylist())]
                     hosts = set(hklist)
-                    schemes = dict(zip(hklist,
-                                       wave.column("protocol").to_pylist()))
+                    schemes = _robots_schemes(
+                        hklist, wave.column("protocol").to_pylist())
                     hosts_new = hosts - self.robots_cache.keys()
                     if hosts_new:
                         # pass the FULL wave host set: _fetch_robots only
@@ -1447,6 +1460,7 @@ class CrawlEngine:
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
             json.dump({"round": self.round_no, "next_seq": self.next_seq,
                        "first_request": self.first_request,
+                       "seed_seq": getattr(self, "_seed_seq", -1),
                        "metrics": self.metrics,
                        "seen_shards": self.cfg["seen_shards"],
                        "seen_backend": self.cfg["seen_backend"],
@@ -1491,6 +1505,11 @@ class CrawlEngine:
         eng.round_no = meta["round"] + 1
         eng.next_seq = meta["next_seq"]
         eng.first_request = meta["first_request"]
+        # restore the seed seq: with first_request still true the
+        # first-request redirect special-casing keys off it, and the
+        # seed is only assigned a seq at initial admission
+        if meta.get("seed_seq", -1) >= 0:
+            eng._seed_seq = meta["seed_seq"]
         eng.metrics = meta["metrics"]
         eng.cfg["host"] = meta["host"]
         qt = eng._load_queued_ckpt(last)
@@ -1530,6 +1549,7 @@ class CrawlEngine:
         with open(os.path.join(tmp, "metrics.json"), "w") as f:
             json.dump({"round": self.round_no, "next_seq": self.next_seq,
                        "first_request": self.first_request,
+                       "seed_seq": getattr(self, "_seed_seq", -1),
                        "metrics": self.metrics,
                        "seen_shards": self.cfg["seen_shards"],
                        "seen_backend": self.cfg["seen_backend"],
@@ -1552,6 +1572,11 @@ class CrawlEngine:
         eng.round_no = meta["round"] + 1
         eng.next_seq = meta["next_seq"]
         eng.first_request = meta["first_request"]
+        # restore the seed seq: with first_request still true the
+        # first-request redirect special-casing keys off it, and the
+        # seed is only assigned a seq at initial admission
+        if meta.get("seed_seq", -1) >= 0:
+            eng._seed_seq = meta["seed_seq"]
         eng.metrics = meta["metrics"]
         eng.cfg["host"] = meta["host"]
         qt = eng._load_queued_ckpt(last)

@@ -324,7 +324,14 @@ class FrontierQueue:
         ``path`` becomes a DIRECTORY of per-block part files written
         WORKER-side (atomic publish via rename) — the frontier never
         gathers to the driver and a crash mid-write cannot corrupt an
-        existing checkpoint.  ``defrost`` reads either layout."""
+        existing checkpoint.  ``defrost`` reads either layout.
+
+        Multi-node caveat (same contract as ``SeenSet.save``): the
+        per-block part files are written by worker TASKS from whatever
+        node runs them, and the final publish is an ``os.replace`` on
+        the driver — ``path`` must therefore be on a filesystem shared
+        by every node (NFS / fuse mount), as is standard for cluster
+        checkpoints.  On a single node any local path works."""
         if self._is_table:
             t = self._table()
             t = _requeue_spooled(t)

@@ -938,6 +938,31 @@ def test_joins_preserve_full_range_int64():
     assert out["rh"].tolist() == [int(big[1]), int(big[1]), int(big[2])]
 
 
+def test_joins_preserve_nulls_in_int64_payloads():
+    """A genuine NULL in a 64-bit int payload column must come back as
+    NA, not INT64_MIN (the binary stash used to encode nulls via a
+    float64-NaN astype)."""
+    from simplecrawler_ray.ops import asof_join_partitioned, semi_join
+    big = (1 << 60) + 12345
+    lt = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                   "h": pa.array([big, None, 7], pa.int64())})
+    rt = pa.table({"key": pa.array([1, 2], pa.int64())})
+    got = (semi_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                     "k", right_on="key")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["h"][0] == big and pd.isna(got["h"][1])
+
+    l = pa.table({"k": pa.array(["a", "a"]), "ts": pa.array([5, 9]),
+                  "lh": pa.array([None, big], pa.int64())})
+    r = pa.table({"k": pa.array(["a"]), "ts": pa.array([1]),
+                  "rh": pa.array([None], pa.int64())})
+    out = (asof_join_partitioned(rd.from_arrow(l), rd.from_arrow(r),
+                                 "k", "ts")
+           .to_pandas().sort_values("ts").reset_index(drop=True))
+    assert pd.isna(out["lh"][0]) and out["lh"][1] == big
+    assert pd.isna(out["rh"]).all()
+
+
 def test_asof_join_partitioned_pandas_blocks_and_null_ts():
     """pandas-format input blocks (numpy dtypes in ds.schema()) and
     null left timestamps must not crash the partitioned as-of join."""

@@ -71,6 +71,25 @@ def test_heavy_hitters_finds_true_top(ray_session):
     assert (got.set_index("u")["est"] >= true.loc[got["u"]].to_numpy()).all()
 
 
+def test_heavy_hitters_two_pass_recovers_spread_thin_key(ray_session):
+    """A true top value that never makes any block's local candidate
+    cut (one occurrence per block) is missed single-pass but recovered
+    by the two_pass rescan against the merged sketch."""
+    from simplecrawler_ray.functions.sketch import heavy_hitters
+    blocks = []
+    for i in range(40):
+        local = np.repeat([f"b{i}_{j}" for j in range(8)], 3)
+        blocks.append(np.concatenate([local, ["needle"]]))
+    df = pd.DataFrame({"u": np.concatenate(blocks)})
+    ds = rd.from_pandas(df).repartition(40)
+    one = heavy_hitters(ds, "u", k=1, candidates_per_block=2)
+    assert one["u"].tolist() != ["needle"]          # documented miss
+    two = heavy_hitters(ds, "u", k=1, candidates_per_block=2,
+                        two_pass=True)
+    assert two["u"].tolist() == ["needle"]
+    assert int(two["est"][0]) >= 40                 # never undercounts
+
+
 def test_heavy_hitters_int_keys(ray_session):
     # int keys must hash identically in partial and query (the str-cast
     # regression zeroed every estimate)
