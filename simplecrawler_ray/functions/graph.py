@@ -210,7 +210,7 @@ def _union_find_labels(tables: list[pa.Table]) -> pa.Table:
 
 
 def connected_components(edges, src: str = "src", dst: str = "dst",
-                         n_buckets: int = 32,
+                         n_buckets: "int|None" = None,
                          max_rounds: int = 64,
                          small_threshold: int = 200_000) -> rd.Dataset:
     """Connected components over an undirected edge list.
@@ -229,6 +229,12 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
     already counted them, and near-dup pair sets are tiny relative to
     the corpus); larger graphs run the distributed star contraction,
     whose per-round shuffles would otherwise dominate small inputs.
+
+    ``n_buckets=None`` derives the contraction bucket count from the
+    deduped edge count the first canonical pass already measured
+    (``max(32, ceil(edges / TARGET_ROWS_PER_BUCKET))``) — one bucket
+    is one pandas frame per star round, so it must scale with the
+    graph, not sit at a fixed 32.
     """
     if not isinstance(edges, rd.Dataset):
         tbl = (pa.Table.from_pandas(edges, preserve_index=False)
@@ -244,7 +250,13 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
             lambda b, s=src, d=dst: pa.table(
                 {"src": b.column(s), "dst": b.column(d)}),
             batch_format="pyarrow", zero_copy_batch=True)
+    auto_buckets = n_buckets is None
+    if auto_buckets:
+        n_buckets = 32
     cur, sig = _canonical(cur, n_buckets)
+    if auto_buckets:
+        from ..ops import TARGET_ROWS_PER_BUCKET
+        n_buckets = max(32, -(-sig[0] // TARGET_ROWS_PER_BUCKET))
     if sig[0] == 0:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "component": pa.array([], pa.int64())}))
@@ -377,11 +389,17 @@ def dup_clusters(ds: rd.Dataset, pairs, id_col: str = "doc_id",
 
 def dedup_keep_min(ds: rd.Dataset, pairs, id_col: str = "doc_id",
                    id_a: str = "id_a", id_b: str = "id_b",
-                   n_buckets: int = 32) -> rd.Dataset:
+                   n_buckets: int = 32,
+                   broadcast_max_drop: int = 5_000_000) -> rd.Dataset:
     """Keep one representative per near-dup cluster: the row whose id
     is the component minimum (singletons always survive).  The
-    non-representative id set is at most 2x the pair count, so it is
-    broadcast and each batch filters locally — no shuffle of ``ds``."""
+    non-representative id set is at most 2x the pair count; up to
+    ``broadcast_max_drop`` ids it is broadcast (``ray.put`` once) and
+    each batch filters locally — no shuffle of ``ds``.  Past the
+    threshold (a 100 TB corpus with a high dup rate would otherwise
+    gather tens of GB on the driver) the drop set stays distributed
+    and ``ds`` is filtered with the partitioned ANTI join — one
+    shuffle, nothing on the driver."""
     labels = connected_components(pairs, src=id_a, dst=id_b,
                                   n_buckets=n_buckets)
 
@@ -390,8 +408,15 @@ def dedup_keep_min(ds: rd.Dataset, pairs, id_col: str = "doc_id",
         drop = n[n != c]
         return pa.table({"drop": drop})
 
+    drops_ds = labels.map_batches(non_reps,
+                                  batch_format="pyarrow").materialize()
+    if drops_ds.count() > broadcast_max_drop:
+        from ..ops import anti_join
+        return anti_join(ds, drops_ds, id_col, right_on="drop",
+                         n_buckets=n_buckets)
+
     from ..ops import gather_tables
-    tabs = gather_tables(labels.map_batches(non_reps, batch_format="pyarrow"))
+    tabs = gather_tables(drops_ds)
     drop = (pa.concat_tables(tabs).column("drop").to_numpy(zero_copy_only=False)
             if tabs else np.array([], dtype=np.int64))
     drop_ref = ray.put(np.sort(drop.astype(np.int64)))

@@ -460,7 +460,7 @@ def tumbling_window(ds: rd.Dataset, ts_col: str, size_s: int, keys: list[str],
 
 def sessionize(ds: rd.Dataset, key_col: str, ts_col: str, gap_s: int = 1800,
                tiebreak: "str|None" = None,
-               n_buckets: int = 32) -> rd.Dataset:
+               n_buckets: "int|None" = None) -> rd.Dataset:
     """Gap-based sessionization: one output row per (key, session).
 
     A new session starts when the gap to the key's previous event is
@@ -477,6 +477,7 @@ def sessionize(ds: rd.Dataset, key_col: str, ts_col: str, gap_s: int = 1800,
     is inherent.
     """
     order = [key_col, ts_col] + ([tiebreak] if tiebreak else [])
+    ds, n_buckets = _resolve_buckets(ds, n_buckets)
 
     def bucket_sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(order, kind="stable")
@@ -503,7 +504,7 @@ def sessionize(ds: rd.Dataset, key_col: str, ts_col: str, gap_s: int = 1800,
 def grouped_topk(ds: rd.Dataset, group_cols: list[str], sort_col: str,
                  k: int, descending: bool = True,
                  tiebreak: "str|None" = None,
-                 n_buckets: int = 32) -> rd.Dataset:
+                 n_buckets: "int|None" = None) -> rd.Dataset:
     """Per-group top-k without a global sort.
 
     Two stages: a per-block partial keeps at most k rows per group
@@ -511,6 +512,10 @@ def grouped_topk(ds: rd.Dataset, group_cols: list[str], sort_col: str,
     then groups hash into ``n_buckets`` buckets and each bucket takes
     its final top-k VECTORIZED (one sort + groupby.head per bucket,
     not one frame per group).  Ties break by ``tiebreak`` ascending.
+
+    ``n_buckets=None`` derives the bucket count from the PARTIAL
+    output size (the data that actually crosses the shuffle — already
+    bounded to k rows/group/block), not the raw input.
     """
     order = [*group_cols, sort_col] + ([tiebreak] if tiebreak else [])
     asc = [True] * len(group_cols) + [not descending] + \
@@ -520,20 +525,28 @@ def grouped_topk(ds: rd.Dataset, group_cols: list[str], sort_col: str,
         df = batch.to_pandas().sort_values(order, ascending=asc,
                                            kind="stable")
         kept = df.groupby(group_cols, sort=False).head(k)
-        kb = pd.util.hash_pandas_object(kept[group_cols[0]]
-                                        if len(group_cols) == 1
-                                        else kept[group_cols],
-                                        index=False).to_numpy()
-        kept = kept.assign(__bucket=(kb % n_buckets).astype(np.int64))
         return pa.Table.from_pandas(kept, preserve_index=False)
+
+    def tag(batch: pa.Table, nb: int) -> pa.Table:
+        df = batch.to_pandas()
+        kb = pd.util.hash_pandas_object(df[group_cols[0]]
+                                        if len(group_cols) == 1
+                                        else df[group_cols],
+                                        index=False).to_numpy()
+        return batch.append_column(
+            "__bucket", pa.array((kb % nb).astype(np.int64)))
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(order, ascending=asc, kind="stable")
         return (g.groupby(group_cols, sort=False).head(k)
                  .drop(columns="__bucket"))
 
-    return (ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    kept_ds = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    kept_ds, n_buckets = _resolve_buckets(kept_ds, n_buckets)
+    return (kept_ds.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                fn_kwargs={"nb": n_buckets})
               .groupby("__bucket")
               .map_groups(final, batch_format="pandas"))
 
@@ -546,9 +559,34 @@ def _tag_bucket(batch: pa.Table, key_col: str, n_buckets: int) -> pa.Table:
         "__bucket", pa.array((kb % n_buckets).astype(np.int64)))
 
 
+# one bucket becomes ONE pandas frame inside map_groups — cap its rows
+# so the frame fits a worker's heap at any input scale
+TARGET_ROWS_PER_BUCKET = 1_000_000
+
+
+def _resolve_buckets(ds: rd.Dataset, n_buckets: "int|None",
+                     target: int = TARGET_ROWS_PER_BUCKET):
+    """``n_buckets=None`` -> derive the bucket count from the input
+    size: ``max(32, ceil(rows / target))``, so a bucket's pandas frame
+    stays bounded no matter how much data flows in (a fixed 32 meant
+    rows/32 per frame — fine at sf0.1, OOM at 100x).
+
+    Counting requires executing the plan, so the input is materialized
+    ONCE and the returned dataset reuses those blocks — for the window
+    ops every row is about to cross the bucket shuffle anyway, so the
+    extra cost is one object-store pass, not a second plan execution.
+    An explicit ``n_buckets`` skips all of this (and the materialize).
+    """
+    if n_buckets is not None:
+        return ds, int(n_buckets)
+    mat = ds.materialize()
+    return mat, max(32, -(-(mat.count() or 1) // target))
+
+
 def lag_delta(ds: rd.Dataset, key_col: str, order_cols: list[str],
               val_col: str, out_cols: list[str], out_col: str = "delta",
-              integer_out: bool = True, n_buckets: int = 32) -> rd.Dataset:
+              integer_out: bool = True,
+              n_buckets: "int|None" = None) -> rd.Dataset:
     """Per-key window lag difference: out_col = val - LAG(val) OVER
     (PARTITION BY key ORDER BY order_cols); NULL for each key's first row.
 
@@ -559,6 +597,7 @@ def lag_delta(ds: rd.Dataset, key_col: str, order_cols: list[str],
     shuffle is inherent — but it moves each row once.
     """
     order = [key_col, *order_cols]
+    ds, n_buckets = _resolve_buckets(ds, n_buckets)
 
     def bucket_fn(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(order, kind="stable")
@@ -580,7 +619,8 @@ def lag_delta(ds: rd.Dataset, key_col: str, order_cols: list[str],
 
 def cumsum_by_key(ds: rd.Dataset, key_col: str, order_cols: list[str],
                   val_col: str, out_cols: list[str],
-                  out_col: str = "running", n_buckets: int = 32) -> rd.Dataset:
+                  out_col: str = "running",
+                  n_buckets: "int|None" = None) -> rd.Dataset:
     """Per-key running total: out_col = SUM(val) OVER (PARTITION BY key
     ORDER BY order_cols ROWS UNBOUNDED PRECEDING).
 
@@ -590,6 +630,7 @@ def cumsum_by_key(ds: rd.Dataset, key_col: str, order_cols: list[str],
     floating-point association noise.
     """
     order = [key_col, *order_cols]
+    ds, n_buckets = _resolve_buckets(ds, n_buckets)
 
     def bucket_fn(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(order, kind="stable")

@@ -165,6 +165,22 @@ def test_dedup_keep_min_keeps_one_per_cluster():
     assert kept == [1, 7, 1000]
 
 
+def test_dedup_keep_min_large_dropset_anti_join_path():
+    """Past broadcast_max_drop the drop set must NOT gather to the
+    driver: the partitioned anti-join path returns the same survivors."""
+    ids = np.arange(200, dtype=np.int64)
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(4)
+    # chain 0-1, 2-3, ... -> 50 clusters of 2 among the first 100 ids,
+    # drop set = 50 ids (the odd ones)
+    pairs = pa.table({"id_a": pa.array(ids[0:100:2]),
+                      "id_b": pa.array(ids[1:100:2])})
+    broad = sorted(dedup_keep_min(docs, pairs).to_pandas()["doc_id"])
+    joined = sorted(dedup_keep_min(docs, pairs, broadcast_max_drop=5)
+                    .to_pandas()["doc_id"])
+    assert joined == broad
+    assert joined == sorted(set(ids) - set(ids[1:100:2]))
+
+
 def test_group_star_edges_ignores_null_keys():
     # null keys define no equivalence: previously transform('min') on
     # NaN-keyed rows produced INT64_MIN garbage edges linking every

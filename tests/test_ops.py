@@ -938,6 +938,20 @@ def test_joins_preserve_full_range_int64():
     assert out["rh"].tolist() == [int(big[1]), int(big[1]), int(big[2])]
 
 
+def test_resolve_buckets_scales_with_rows():
+    """n_buckets=None derives bucket count from input size, so one
+    bucket's pandas frame stays bounded at any scale; an explicit int
+    passes through untouched (and skips the materialize)."""
+    from simplecrawler_ray.ops import _resolve_buckets
+    small = rd.range(100)
+    _, nb = _resolve_buckets(small, None, target=1000)
+    assert nb == 32                                  # floor
+    _, nb = _resolve_buckets(rd.range(250_000), None, target=1000)
+    assert nb == 250                                 # ceil(rows/target)
+    same, nb = _resolve_buckets(small, 7, target=1)
+    assert nb == 7 and same is small                 # explicit passthrough
+
+
 def test_joins_preserve_nulls_in_int64_payloads():
     """A genuine NULL in a 64-bit int payload column must come back as
     NA, not INT64_MIN (the binary stash used to encode nulls via a
