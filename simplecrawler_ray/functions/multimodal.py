@@ -146,6 +146,60 @@ def pillow_decoder():
     return decode
 
 
+def soundfile_decoder():
+    """Import-gated REAL-codec factory for compressed audio: returns a
+    ``blob -> (mono float32 pcm, sample_rate)`` callable backed by the
+    soundfile (libsndfile) library, for
+    ``AudioFeatureStage(decoder=...)`` on clusters where it is
+    installed — real FLAC/OGG/... decode with no stage changes.  Same
+    import-gating pattern as ``pillow_decoder``; this container ships
+    no codec libraries, so here the factory raises ImportError and the
+    swap path is pytest-pinned both with and without the lib."""
+    try:
+        import soundfile as _sf
+    except ImportError as e:
+        raise ImportError(
+            "soundfile is not installed; install it to plug real "
+            "compressed-audio decode into AudioFeatureStage via "
+            "soundfile_decoder()") from e
+    import io
+
+    def decode(blob: bytes) -> "tuple[np.ndarray, int]":
+        pcm, rate = _sf.read(io.BytesIO(blob), dtype="float32",
+                             always_2d=True)
+        return pcm.mean(axis=1).astype(np.float32), int(rate)
+
+    return decode
+
+
+def pyav_demuxer(fmt: str = "png"):
+    """Import-gated REAL-container demuxer factory: returns a
+    ``blob -> list[encoded-frame bytes]`` callable backed by PyAV
+    (ffmpeg), for ``VideoFrameSampleStage(demuxer=...)`` on clusters
+    where it is installed — real MP4/AVI/MKV demux+decode with no
+    stage changes.  Decoded frames are re-encoded with this repo's
+    pure-numpy image codec so the stage's output contract
+    (list<binary> frames) is container-independent.  Same gating
+    pattern as ``pillow_decoder``/``soundfile_decoder``."""
+    try:
+        import av as _av
+    except ImportError as e:
+        raise ImportError(
+            "pyav is not installed; install it to plug real MP4/AVI "
+            "demux into VideoFrameSampleStage via pyav_demuxer()") from e
+    import io
+
+    def demux(blob: bytes) -> "list[bytes]":
+        frames: list[bytes] = []
+        with _av.open(io.BytesIO(blob)) as container:
+            for frame in container.decode(video=0):
+                frames.append(encode_image(
+                    frame.to_ndarray(format="rgb24"), fmt))
+        return frames
+
+    return demux
+
+
 # ------------------------------------------------- audio (WAV real; rest stub)
 
 def _fake_pcm(blob: bytes, n_samples: int = 1024) -> np.ndarray:

@@ -128,6 +128,24 @@ def _host_bucket(host: str, n_buckets: int) -> int:
         "little") % n_buckets
 
 
+def _row_hook_adapter(hook):
+    """Wrap a legacy single-row fetch_complete_hook (row dict ->
+    list[str] of manual-discovery URLs) as a batched block hook so it
+    runs WORKER-side via ``_batched_hook_block``: rows are visited in
+    seq order within each block and only the candidate list reaches
+    the driver — the per-row driver replay pulled every downloaded row
+    (payload included) across the object store."""
+    def batch_hook(dl: pa.Table) -> list:
+        out = []
+        for row in dl.to_pylist():      # dl arrives seq-sorted
+            for u in (hook(row) or []):
+                out.append(dict(candidate=u, referrer_url=row["url"],
+                                referrer_depth=row["depth"],
+                                parent_seq=row["seq"], pos=0))
+        return out
+    return batch_hook
+
+
 def _robots_schemes(hklist: list, protocols: list) -> dict:
     """host:port -> scheme for the robots.txt fetch, deterministic when
     one host key appears with both http and https rows in a wave:
@@ -445,6 +463,11 @@ DEFAULT_CONFIG = dict(
     fetcher_concurrency=4,
     fetch_threads=0,        # >1: threaded batch I/O for real transports
                             # (HttpWeb); latency-bound WAN fetches need it
+    driver_side_hook=False,  # True: legacy per-row fetch_complete_hook
+                             # replay on the driver (hooks that mutate
+                             # driver state / need cross-block order);
+                             # False: single-row hooks run worker-side
+                             # through the batched block hook
     checkpoint_dir=None,
     checkpoint_seen=False,  # snapshot seen-shard filters per checkpoint
                             # (one .npz per shard) -> resume is O(filter
@@ -506,11 +529,24 @@ class CrawlEngine:
         self.seed_row = seed
         self.use_cache = cache_index is not None
         self.cache_index = cache_index if cache_index is not None else {}
-        self.fetch_complete_hook = fetch_complete_hook
         # batched form: hook(downloaded_block: pa.Table) -> candidates,
         # evaluated WORKER-side per fetched block — the scale path (the
-        # per-row hook pulls every downloaded row to the driver)
+        # per-row hook pulls every downloaded row to the driver).
+        # A single-row hook is routed THROUGH the batched form by
+        # default (worker-side, seq order preserved within a block);
+        # hooks that mutate driver state opt out with
+        # driver_side_hook=True, keeping the legacy per-row replay.
+        self.fetch_complete_hook = None
         self.fetch_complete_batch_hook = fetch_complete_batch_hook
+        if fetch_complete_hook is not None:
+            if self.cfg["driver_side_hook"]:
+                self.fetch_complete_hook = fetch_complete_hook
+            else:
+                if fetch_complete_batch_hook is not None:
+                    raise TypeError("pass either fetch_complete_hook or "
+                                    "fetch_complete_batch_hook, not both")
+                self.fetch_complete_batch_hook = _row_hook_adapter(
+                    fetch_complete_hook)
         self._batch_hook_ref = None
 
         self.seen = SeenSet(

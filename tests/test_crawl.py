@@ -221,6 +221,41 @@ def test_manual_discovery_hook(web):
     eng.seen.shutdown()
 
 
+def test_manual_discovery_hook_routed_worker_side(web):
+    """The single-row hook goes through the batched worker-side form by
+    default: the engine must have NO driver-side per-row hook left."""
+    def hook(row):
+        data = (row["caption"] or "").strip()
+        return [data] if data.startswith("http") else []
+
+    eng = CrawlEngine(web, SEED, discover=False, fetch_complete_hook=hook,
+                      seen_shards=2)
+    assert eng.fetch_complete_hook is None
+    assert eng.fetch_complete_batch_hook is not None
+    eng.seen.shutdown()
+
+
+def test_manual_discovery_hook_driver_side_mutation(web):
+    """driver_side_hook=True keeps the legacy per-row replay for hooks
+    that mutate driver state (closures over local variables)."""
+    seen_rows = []
+
+    def hook(row):
+        seen_rows.append(row["url"])
+        data = (row["caption"] or "").strip()
+        return [data] if data.startswith("http") else []
+
+    eng = CrawlEngine(web, SEED, discover=False, fetch_complete_hook=hook,
+                      driver_side_hook=True, seen_shards=2)
+    assert eng.fetch_complete_hook is not None
+    eng.enqueue("http://127.0.0.1:3000/async-stage1")
+    res = eng.run(max_rounds=40)
+    urls = set(res.downloaded_urls())
+    assert "http://127.0.0.1:3000/async-stage3" in urls
+    assert set(seen_rows) == urls          # driver saw every downloaded row
+    eng.seen.shutdown()
+
+
 def test_force_enqueue_duplicate(web):
     eng = CrawlEngine(web, SEED, discover=False, seen_shards=2)
     eng.enqueue(SEED, force=True)  # duplicate of the seed, forced through

@@ -273,6 +273,80 @@ def test_pillow_decoder_real_codec_gate():
     assert out.column("img_w")[0].as_py() == arr.shape[1]
 
 
+def test_soundfile_decoder_real_codec_gate():
+    """Audio analogue of the pillow gate: with soundfile installed the
+    factory's decoder round-trips WAV bytes through AudioFeatureStage;
+    without it the factory raises a clear ImportError.  Green in both
+    environments."""
+    import importlib.util
+
+    import pyarrow as pa
+
+    from simplecrawler_ray.functions.audiocodec import encode_wav
+    from simplecrawler_ray.functions.multimodal import (
+        AudioFeatureStage, soundfile_decoder)
+
+    if importlib.util.find_spec("soundfile") is None:
+        with pytest.raises(ImportError, match="soundfile"):
+            soundfile_decoder()
+        return
+    dec = soundfile_decoder()
+    t = np.linspace(0, 1, 8000, dtype=np.float32)
+    pcm = (0.5 * np.sin(2 * np.pi * 440 * t)).reshape(-1, 1)
+    blob = encode_wav(pcm, sample_rate=8000)
+    got, rate = dec(blob)
+    assert rate == 8000 and abs(len(got) - 8000) <= 1
+    out = AudioFeatureStage(decoder=dec, real_decode=True)(
+        pa.table({"bytes": pa.array([blob], pa.binary())}))
+    assert out.column("audio_decode_error")[0].as_py() == ""
+    assert out.column("audio_rms")[0].as_py() > 0.1
+
+
+def test_pyav_demuxer_real_container_gate():
+    """Video analogue of the pillow gate: with PyAV installed the
+    factory demuxes a container it muxed itself through
+    VideoFrameSampleStage; without it the factory raises a clear
+    ImportError.  Green in both environments."""
+    import importlib.util
+
+    import pyarrow as pa
+
+    from simplecrawler_ray.functions.multimodal import (
+        VideoFrameSampleStage, pyav_demuxer)
+
+    if importlib.util.find_spec("av") is None:
+        with pytest.raises(ImportError, match="pyav"):
+            pyav_demuxer()
+        return
+    import io
+
+    import av
+
+    demux = pyav_demuxer()
+    buf = io.BytesIO()
+    try:
+        with av.open(buf, "w", format="avi") as container:
+            stream = container.add_stream("mpeg4", rate=4)
+            stream.width, stream.height = 32, 32
+            stream.pix_fmt = "yuv420p"
+            for i in range(6):
+                arr = np.full((32, 32, 3), i * 40, np.uint8)
+                frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+                for pkt in stream.encode(frame):
+                    container.mux(pkt)
+            for pkt in stream.encode():
+                container.mux(pkt)
+    except av.AVError as e:                      # codec not built in
+        pytest.skip(f"pyav present but mpeg4 encoder unavailable: {e}")
+    blob = buf.getvalue()
+    frames = demux(blob)
+    assert len(frames) == 6
+    out = VideoFrameSampleStage(k=3, demuxer=demux, real_decode=True)(
+        pa.table({"bytes": pa.array([blob], pa.binary())}))
+    assert out.column("frame_count")[0].as_py() == 3
+    assert out.column("video_decode_error")[0].as_py() == ""
+
+
 def test_image_decode_stage_corrupt_blob_is_per_row(ray_session):
     """A corrupt blob with a valid PNG signature (struct/zlib errors)
     must fill decode_error, never kill the batch."""
