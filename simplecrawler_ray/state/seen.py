@@ -8,8 +8,9 @@ selected by ``url_hash % num_shards``; each shard offers vectorized
 "first add wins / duplicate rejected" semantics, src/queue.ts:110-135).
 
 Backends per shard:
-* ``exact``  — Python set of int64 hashes.  Exact (modulo 64-bit hash
-  collisions), ~32 B/key.  Default for conformance tests.
+* ``exact``  — open-addressing numpy uint64 table (linear probing,
+  load <= 0.5).  Exact (modulo 64-bit hash collisions), 8 B/slot =
+  ~16 B/key.  Default for conformance tests.
 * ``cuckoo`` — numpy cuckoo filter, 16-bit fingerprints, 4-slot
   buckets: ~2.3 B/key at 95% load.  At 10^10 URLs: ~23 GB cluster-wide
   across shards (vs ~1 TB for exact) — the north-rule scale backend.
@@ -43,54 +44,151 @@ def _mix(h: np.ndarray, salt: int) -> np.ndarray:
 
 
 class ExactBackend:
+    """Exact uint64 hash set as an open-addressing numpy table.
+
+    Linear probing over a power-of-2 table (load factor <= 0.5, grown
+    by doubling); slot 0 is the EMPTY sentinel, so the real key 0 is
+    tracked by a scalar flag.  Every operation is vectorized per probe
+    ROUND (one gather + compare over all still-unresolved keys), not
+    per key — the earlier Python ``set`` version boxed each hash to a
+    PyLong on both insert and lookup (~60-100 B/key in CPython and an
+    allocation per element), which is exactly what saturates this
+    host's memory bus.  Here the table is 8 B/slot = 16 B/key at the
+    load cap: at the 10^10-key design point that is ~160 GB
+    cluster-wide across shards instead of ~1 TB.
+    """
+
+    _MULT = _U64(0x9E3779B97F4A7C15)      # Fibonacci multiplier
+
     def __init__(self, capacity: int = 0):
-        self._set: set[int] = set()
+        bits = max(16, int(max(capacity, 1) * 2 - 1).bit_length())
+        self._bits = bits
+        self._table = np.zeros(1 << bits, dtype=_U64)
+        self._n = 0                        # nonzero keys stored
+        self._has_zero = False
+
+    def _home(self, keys: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return ((keys * self._MULT) >> _U64(64 - self._bits)) \
+                .astype(np.int64)
+
+    def _grow(self, need: int) -> None:
+        while (self._n + need) * 2 > len(self._table):
+            old = self._table[self._table != _U64(0)]
+            self._bits += 1
+            self._table = np.zeros(1 << self._bits, dtype=_U64)
+            self._n = 0
+            if len(old):
+                self._insert(old)
+
+    def _insert(self, keys: np.ndarray) -> np.ndarray:
+        """Probe-insert KEYS (nonzero, duplicates allowed); returns the
+        first-occurrence-wins new-mask.
+
+        In-batch duplicates need no pre-dedup (the old path paid an
+        O(n log n) ``np.unique`` sort over the whole batch for it):
+        identical keys share the same home slot and advance in lockstep
+        — each round they all see the same slot, so they either all hit
+        an existing key, or contend for the same empty slot, where the
+        earliest claims it and the rest resolve as duplicates via a
+        plain ``==`` hit the following round."""
+        table, mask = self._table, np.int64(len(self._table) - 1)
+        idx = self._home(keys)
+        new = np.zeros(len(keys), dtype=bool)
+        pending = np.arange(len(keys))
+        scratch = None
+        while len(pending):
+            slots = idx[pending]
+            cur = table[slots]
+            k = keys[pending]
+            hit = cur == k                 # already present
+            resolved = hit
+            claim = np.flatnonzero(cur == _U64(0))
+            if len(claim):
+                # several keys can land on the same empty slot in one
+                # round: the EARLIEST claimant wins (scatter claimant
+                # positions reversed — with duplicate fancy indices the
+                # last write lands, so reversing makes the first claim
+                # stick), losers keep probing
+                if scratch is None:
+                    scratch = np.empty(len(table), dtype=np.int64)
+                cslots = slots[claim]
+                scratch[cslots[::-1]] = claim[::-1]
+                won = scratch[cslots] == claim
+                winners = claim[won]
+                table[cslots[won]] = k[winners]
+                new[pending[winners]] = True
+                self._n += len(winners)
+                resolved = hit.copy()
+                # re-gather after the writes: a claimant whose slot now
+                # holds its own key is resolved — that's every winner,
+                # plus any same-key duplicate that lost the race (it
+                # must NOT advance past its twin's slot)
+                resolved[claim] = table[cslots] == k[claim]
+            pending = pending[~resolved]
+            idx[pending] = (idx[pending] + 1) & mask
+        return new
 
     def state(self) -> dict:
-        return {"kind": "exact",
-                "keys": np.fromiter(self._set, dtype=np.uint64,
-                                    count=len(self._set))}
+        keys = self._table[self._table != _U64(0)]
+        if self._has_zero:
+            keys = np.concatenate([keys, np.zeros(1, dtype=_U64)])
+        return {"kind": "exact", "keys": keys}
 
     def load_state(self, st: dict) -> None:
-        self._set = set(st["keys"].tolist())
+        keys = np.asarray(st["keys"], dtype=_U64)
+        self.__init__(capacity=len(keys))
+        self.add(keys)
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
-        """Batch check-and-insert, first occurrence wins.
-
-        Vectorized: np.unique picks each hash's first position, a bulk
-        ``set - set`` difference (C loop) finds the genuinely-new
-        values, and np.isin maps them back to positions — no Python
-        per-element loop (the round-2 version was ~120k hashes/s of
-        pure Python per shard)."""
+        """Batch check-and-insert, first occurrence wins."""
         out = np.zeros(len(hashes), dtype=bool)
         if not len(hashes):
             return out
-        uniq, first_idx = np.unique(hashes, return_index=True)
-        new = set(uniq.tolist()) - self._set
-        if new:
-            self._set |= new
-            new_arr = np.fromiter(new, dtype=np.uint64, count=len(new))
-            out[first_idx[np.isin(uniq, new_arr, assume_unique=True)]] = True
+        hashes = np.asarray(hashes, dtype=_U64)
+        zeros = hashes == _U64(0)
+        if zeros.any():
+            if not self._has_zero:
+                self._has_zero = True
+                out[np.argmax(zeros)] = True
+            nz = np.flatnonzero(~zeros)
+            if len(nz):
+                self._grow(len(nz))
+                out[nz] = self._insert(hashes[nz])
+        else:
+            self._grow(len(hashes))
+            out = self._insert(hashes)
         return out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
-        if not len(hashes):
+        n = len(hashes)
+        if not n:
             return np.zeros(0, dtype=bool)
-        uniq = np.unique(hashes)
-        present = set(uniq.tolist()) & self._set
-        if not present:
-            return np.zeros(len(hashes), dtype=bool)
-        present_arr = np.fromiter(present, dtype=np.uint64, count=len(present))
-        return np.isin(hashes, present_arr)
+        hashes = np.asarray(hashes, dtype=_U64)
+        out = np.zeros(n, dtype=bool)
+        zero = hashes == _U64(0)
+        if self._has_zero:
+            out[zero] = True
+        table = self._table
+        mask = np.int64(len(table) - 1)
+        idx = self._home(hashes)
+        pending = np.flatnonzero(~zero)
+        while len(pending):
+            cur = table[idx[pending]]
+            hit = cur == hashes[pending]
+            out[pending[hit]] = True
+            pending = pending[~hit & (cur != _U64(0))]
+            idx[pending] = (idx[pending] + 1) & mask
+        return out
 
     def add(self, hashes: np.ndarray) -> None:
-        self._set.update(hashes.tolist())
+        self.check_and_add(np.asarray(hashes, dtype=_U64))
 
     def __len__(self):
-        return len(self._set)
+        return self._n + int(self._has_zero)
 
     def memory_bytes(self) -> int:
-        return len(self._set) * 32
+        return self._table.nbytes
 
 
 class CuckooBackend:

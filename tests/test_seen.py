@@ -175,3 +175,61 @@ def test_cuckoo_overflow_counted_not_silent():
     b2 = CuckooBackend(capacity=64)
     b2.load_state(st)
     assert b2.overflow == b.overflow
+
+
+def test_exact_open_addressing_matches_reference_set():
+    """The numpy open-addressing exact backend vs a Python-set model:
+    first-occurrence-wins across batches with in-batch dups, key 0,
+    table growth from a tiny initial capacity, and contains parity."""
+    rng = np.random.default_rng(11)
+    ref: set = set()
+    b = ExactBackend(capacity=4)        # force several growth doublings
+    for _ in range(60):
+        keys = rng.integers(0, 3000, rng.integers(0, 300)).astype(np.uint64)
+        mask = b.check_and_add(keys)
+        exp = np.zeros(len(keys), bool)
+        batch_seen: set = set()
+        for i, k in enumerate(keys.tolist()):
+            exp[i] = k not in ref and k not in batch_seen
+            batch_seen.add(k)
+        ref |= batch_seen
+        assert (mask == exp).all()
+        assert len(b) == len(ref)
+    probe = rng.integers(0, 6000, 2000).astype(np.uint64)
+    want = np.array([int(k) in ref for k in probe.tolist()])
+    assert (b.contains(probe) == want).all()
+
+
+def test_exact_zero_key_and_snapshot_roundtrip():
+    b = ExactBackend(capacity=16)
+    mask = b.check_and_add(np.array([0, 5, 0], dtype=np.uint64))
+    assert mask.tolist() == [True, True, False]
+    assert b.contains(np.array([0, 5, 6], dtype=np.uint64)).tolist() == \
+        [True, True, False]
+    assert len(b) == 2
+    st = b.state()
+    assert st["kind"] == "exact" and len(st["keys"]) == 2
+    b2 = ExactBackend()
+    b2.load_state(st)
+    assert len(b2) == 2
+    assert b2.contains(np.array([0, 5, 6], dtype=np.uint64)).tolist() == \
+        [True, True, False]
+
+
+def test_exact_loads_legacy_set_snapshot():
+    # pre-round-5 snapshots stored an unordered key array built from a
+    # Python set — the packed-array format is identical, so they load
+    legacy = {"kind": "exact",
+              "keys": np.array([3, 1, 4, 1, 5], dtype=np.uint64)}
+    b = ExactBackend()
+    b.load_state(legacy)
+    assert len(b) == 4          # in-array dup collapses
+    assert b.contains(np.array([1, 2, 3, 4, 5], dtype=np.uint64)).tolist() \
+        == [True, False, True, True, True]
+
+
+def test_exact_memory_stays_packed():
+    b = ExactBackend(capacity=1 << 17)
+    b.add(np.arange(1, 100_001, dtype=np.uint64))
+    # 8 B/slot, load factor >= 25% after sizing for the capacity
+    assert b.memory_bytes() <= (1 << 18) * 8
