@@ -403,6 +403,35 @@ def _scatter_check_and_add(hashes: np.ndarray, shards: list) -> np.ndarray:
     return scatter_check_and_add(hashes, shards)
 
 
+@ray.remote
+def _partition_chunk(hashes: np.ndarray, base: int, n_shards: int):
+    """Wave 1 of ``check_and_add_distributed``: split one contiguous
+    chunk per shard, tagging each hash with its GLOBAL batch position.
+    Returns ``n_shards`` objects (one per shard) so wave-2 tasks pull
+    only their own shard's pieces, not the whole chunk."""
+    shard_of = (hashes % _U64(n_shards)).astype(np.int64)
+    out = []
+    for s in range(n_shards):
+        idx = np.flatnonzero(shard_of == s)
+        out.append((hashes[idx], base + idx))
+    return tuple(out) if n_shards > 1 else out[0]
+
+
+@ray.remote
+def _dedup_check_shard(shard, *pieces) -> np.ndarray:
+    """Wave 2: concatenate one shard's pieces in chunk order (positions
+    ascend, so ``np.unique``'s first index IS the global first
+    occurrence), dedup, one actor RPC, and return the global positions
+    of the genuinely-new hashes."""
+    hashes = np.concatenate([p[0] for p in pieces])
+    pos = np.concatenate([p[1] for p in pieces])
+    if not len(hashes):
+        return np.zeros(0, dtype=np.int64)
+    uniq, first = np.unique(hashes, return_index=True)
+    new = ray.get(shard.check_and_add.remote(uniq))
+    return pos[first[new]]
+
+
 @ray.remote(num_cpus=0.25)
 class SeenShard:
     """One shard of the distributed seen-set (T1, SURVEY §2.3)."""
@@ -511,28 +540,44 @@ class SeenSet:
 
     def check_and_add_distributed(self, hashes: np.ndarray,
                                   chunk: int | None = None) -> np.ndarray:
-        """``check_and_add`` with the scatter fanned out as Ray tasks:
-        the hashes are deduplicated (first occurrence wins — identical
-        semantics to the sequential path), split into chunks, and each
-        chunk scatters to the shards from a WORKER, so shard RPCs from
-        different chunks overlap instead of funneling through the
-        driver.  Use for large batches (seed ingestion, bulk dedup);
-        small batches should stay on ``check_and_add`` (task-launch
-        overhead dominates below ~100k hashes)."""
+        """``check_and_add`` with BOTH the scatter and the in-batch
+        dedup fanned out as Ray tasks — identical first-occurrence-wins
+        semantics to the sequential path, no O(n log n) driver work.
+
+        Two task waves: (1) each contiguous chunk partitions its slice
+        per shard, tagging rows with their GLOBAL position; (2) one
+        task per shard concatenates its pieces in chunk order (so
+        positions stay ascending), dedups locally (``np.unique`` over
+        n/S hashes — the first index in an ascending-position array IS
+        the global first occurrence), makes ONE actor RPC, and returns
+        the global positions that are genuinely new.  The driver only
+        scatters the final boolean mask: O(n) and no sort.  (The
+        previous version deduplicated the whole batch on the driver —
+        a 0.6 s ``np.unique`` at 2M hashes that capped the measured
+        rate below the shard backends' own throughput.)  Use for large
+        batches (seed ingestion, bulk dedup); small batches stay on
+        ``check_and_add`` (task-launch overhead dominates below
+        ~100k hashes)."""
         hashes = np.asarray(hashes, dtype=np.uint64)
         chunk = chunk or self.DISTRIBUTED_CHUNK
         if len(hashes) <= chunk:
             return self.check_and_add(hashes)
-        # in-batch dedup: unique hashes mean no cross-chunk races, so
-        # first-occurrence-wins holds exactly as in the driver path
-        uniq, first_idx = np.unique(hashes, return_index=True)
-        refs = [
-            _scatter_check_and_add.remote(uniq[o: o + chunk], self.shards)
-            for o in range(0, len(uniq), chunk)
+        n_shards = self.num_shards
+        piece_refs = [
+            _partition_chunk.options(num_returns=n_shards).remote(
+                hashes[o: o + chunk], o, n_shards)
+            for o in range(0, len(hashes), chunk)
         ]
-        mask_u = np.concatenate(ray.get(refs))
+        if n_shards == 1:
+            piece_refs = [[r] for r in piece_refs]
+        new_pos_refs = [
+            _dedup_check_shard.remote(self.shards[s],
+                                      *[pieces[s] for pieces in piece_refs])
+            for s in range(n_shards)
+        ]
         out = np.zeros(len(hashes), dtype=bool)
-        out[first_idx[mask_u]] = True
+        for pos in ray.get(new_pos_refs):
+            out[pos] = True
         return out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
