@@ -676,9 +676,9 @@ def _ints_to_bin(col: "pa.ChunkedArray|pa.Array", np_dtype) -> pa.Array:
 
     Genuine nulls keep their validity bitmap (a null slot stays null in
     the binary column) instead of materializing as NaN->INT64_MIN."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
     n_null = col.null_count
+    if n_null and isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
     if n_null:
         valid = col.is_valid().to_numpy(zero_copy_only=False)
         v = np.ascontiguousarray(pc.fill_null(col, 0)

@@ -13,7 +13,7 @@ Backends per shard:
   ~16 B/key.  Default for conformance tests.
 * ``cuckoo`` — numpy cuckoo filter, 16-bit fingerprints, 4-slot
   buckets: ~2.3 B/key at 95% load.  At 10^10 URLs: ~23 GB cluster-wide
-  across shards (vs ~1 TB for exact) — the north-rule scale backend.
+  across shards (vs ~160 GB for exact) — the north-rule scale backend.
   No false negatives; false-positive rate ~=  2^-13 (a tiny fraction of
   genuinely-new URLs silently dropped as "seen" — acceptable for crawl
   frontiers, documented divergence from the reference's exact set).
