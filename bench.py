@@ -184,6 +184,7 @@ def run_once() -> dict:
     _init_ray()
     crawl = bench_crawl()
     dedup = bench_dedup()
+    dedup_exact = bench_dedup("exact")
     queries = bench_queries()
     result = {
         "metric": ("frontier throughput (URLs dequeued+fetched/sec) and "
@@ -199,9 +200,10 @@ def run_once() -> dict:
         "dedup_checked_per_sec": round(dedup["checked_per_sec"], 1),
         "dedup_urls_checked": dedup["urls_checked"],
         "dedup_exact_checked_per_sec": round(
-            bench_dedup("exact")["checked_per_sec"], 1),
+            dedup_exact["checked_per_sec"], 1),
         "crawl_runs_urls_per_sec": crawl["runs_urls_per_sec"],
         "dedup_trials_per_sec": dedup["trials_per_sec"],
+        "dedup_exact_trials_per_sec": dedup_exact["trials_per_sec"],
     }
     import ray
 
