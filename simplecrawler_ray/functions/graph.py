@@ -230,11 +230,12 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
     the corpus); larger graphs run the distributed star contraction,
     whose per-round shuffles would otherwise dominate small inputs.
 
-    ``n_buckets=None`` derives the contraction bucket count from the
-    deduped edge count the first canonical pass already measured
-    (``max(32, ceil(edges / TARGET_ROWS_PER_BUCKET))``) — one bucket
-    is one pandas frame per star round, so it must scale with the
-    graph, not sit at a fixed 32.
+    ``n_buckets=None`` (the default here and in the dedup wrappers)
+    derives the contraction bucket count from the raw edge count
+    (``max(32, ceil(edges / TARGET_ROWS_PER_BUCKET))``, measured
+    before the first canonical pass so no pass ever runs under-
+    bucketed) — one bucket is one pandas frame per star round, so it
+    must scale with the graph, not sit at a fixed 32.
     """
     if not isinstance(edges, rd.Dataset):
         tbl = (pa.Table.from_pandas(edges, preserve_index=False)
@@ -250,13 +251,15 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
             lambda b, s=src, d=dst: pa.table(
                 {"src": b.column(s), "dst": b.column(d)}),
             batch_format="pyarrow", zero_copy_batch=True)
-    auto_buckets = n_buckets is None
-    if auto_buckets:
-        n_buckets = 32
+    if n_buckets is None:
+        # size the contraction buckets from the RAW edge count BEFORE
+        # the first canonical pass — deriving it after would run that
+        # measuring pass itself at a fixed bucket count, recreating
+        # the rows/32-per-frame blowup the sizing exists to prevent
+        # (raw >= deduped, so this only over-provisions buckets)
+        from ..ops import _resolve_buckets
+        cur, n_buckets = _resolve_buckets(cur, None)
     cur, sig = _canonical(cur, n_buckets)
-    if auto_buckets:
-        from ..ops import TARGET_ROWS_PER_BUCKET
-        n_buckets = max(32, -(-sig[0] // TARGET_ROWS_PER_BUCKET))
     if sig[0] == 0:
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "component": pa.array([], pa.int64())}))
@@ -335,7 +338,7 @@ def group_star_edges(ds: rd.Dataset, key_cols: list[str],
 
 def dup_clusters(ds: rd.Dataset, pairs, id_col: str = "doc_id",
                  id_a: str = "id_a", id_b: str = "id_b",
-                 n_buckets: int = 32,
+                 n_buckets: "int|None" = None,
                  broadcast_max_nodes: int = 5_000_000) -> rd.Dataset:
     """Assign every row of ``ds`` a ``cluster`` id: the minimum id in
     its near-dup component (own id for rows in no pair).
@@ -370,11 +373,15 @@ def dup_clusters(ds: rd.Dataset, pairs, id_col: str = "doc_id",
         return ds.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    from ..ops import hash_join
+    from ..ops import _resolve_buckets, hash_join
     labels = labels.map_batches(
         lambda b: pa.table({id_col: b.column("node"),
                             "cluster": b.column("component")}),
         batch_format="pyarrow", zero_copy_batch=True)
+    if n_buckets is None:
+        # the join shuffles the CORPUS, so its bucket count must be
+        # derived from ds, not from the (much smaller) label graph
+        ds, n_buckets = _resolve_buckets(ds, None)
     joined = hash_join(ds, labels, on=id_col, n_buckets=n_buckets, how="left")
 
     def fill(batch: pa.Table) -> pa.Table:
@@ -389,7 +396,7 @@ def dup_clusters(ds: rd.Dataset, pairs, id_col: str = "doc_id",
 
 def dedup_keep_min(ds: rd.Dataset, pairs, id_col: str = "doc_id",
                    id_a: str = "id_a", id_b: str = "id_b",
-                   n_buckets: int = 32,
+                   n_buckets: "int|None" = None,
                    broadcast_max_drop: int = 5_000_000) -> rd.Dataset:
     """Keep one representative per near-dup cluster: the row whose id
     is the component minimum (singletons always survive).  The
@@ -411,7 +418,11 @@ def dedup_keep_min(ds: rd.Dataset, pairs, id_col: str = "doc_id",
     drops_ds = labels.map_batches(non_reps,
                                   batch_format="pyarrow").materialize()
     if drops_ds.count() > broadcast_max_drop:
-        from ..ops import anti_join
+        from ..ops import _resolve_buckets, anti_join
+        if n_buckets is None:
+            # the anti join shuffles the CORPUS — bucket count must
+            # scale with ds, not with the label graph's edge count
+            ds, n_buckets = _resolve_buckets(ds, None)
         return anti_join(ds, drops_ds, id_col, right_on="drop",
                          n_buckets=n_buckets)
 

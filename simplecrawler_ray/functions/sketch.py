@@ -159,11 +159,16 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 10,
 
     ``two_pass=True`` closes the gap with one extra scan: the merged
     sketch is broadcast (``ray.put`` once, zero-copy in every task)
-    and each block re-emits its distinct values whose CM estimate
-    reaches the k-th first-pass candidate estimate.  The result is
-    then EXACTLY the top-k by CM estimate over all distinct values —
-    any value excluded by pass 2 has est below the k-th ranked est, so
-    it cannot displace a winner.  Residual error is only the CM
+    and each block re-emits its own top-k distinct values by
+    (CM estimate desc, value asc) among those reaching the k-th
+    first-pass candidate estimate.  The result is then EXACTLY the
+    top-k by CM estimate over all distinct values: a true winner has
+    at most k-1 values ranked above it globally, so it survives every
+    block's k-cut, and any value excluded has est (or tie-rank) below
+    the k-th — it cannot displace a winner.  The per-block k-cut also
+    keeps the pass-2 driver gather at k rows/block even when key
+    frequencies are near-uniform and the raw threshold would admit
+    almost every distinct value.  Residual error is only the CM
     overcount itself (bounded, one-sided).
 
     Unlike an exact groupby-count, state is O(w*d + candidates),
@@ -197,8 +202,20 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 10,
 
         def rescan(batch: pa.Table) -> pa.Table:
             s = batch.column(col).to_pandas().drop_duplicates()
-            keep = cm_query(ray.get(cm_ref), s) >= threshold
-            return pa.Table.from_pydict({"v": s[keep].tolist()})
+            e = cm_query(ray.get(cm_ref), s)
+            keep = e >= threshold
+            # each block returns only its top-k by (est desc, value
+            # asc) — EXACT for the global top-k by CM estimate: a true
+            # winner has at most k-1 values ranked above it GLOBALLY,
+            # so no block can crowd it below its own k-cut.  Bounds the
+            # driver gather to k rows/block in the near-uniform regime
+            # (where >= threshold would otherwise admit nearly every
+            # distinct value and break the fixed-driver-memory
+            # contract).
+            top = (pd.DataFrame({"v": s[keep].to_numpy(), "e": e[keep]})
+                   .sort_values(["e", "v"], ascending=[False, True])
+                   .head(k))
+            return pa.Table.from_pydict({"v": top["v"].tolist()})
 
         extra = ds.select_columns([col]).map_batches(
             rescan, batch_format="pyarrow", zero_copy_batch=True).take_all()

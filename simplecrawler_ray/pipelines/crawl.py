@@ -545,6 +545,16 @@ class CrawlEngine:
                 if fetch_complete_batch_hook is not None:
                     raise TypeError("pass either fetch_complete_hook or "
                                     "fetch_complete_batch_hook, not both")
+                import warnings
+                warnings.warn(
+                    "fetch_complete_hook runs WORKER-side by default: the "
+                    "hook is serialized per round, so mutations of driver-"
+                    "local state (e.g. appending to a list the hook closes "
+                    "over) will NOT be visible on the driver, and hooks "
+                    "closing over unpicklable objects fail at serialization."
+                    "  Pass driver_side_hook=True for the legacy in-process "
+                    "per-row replay (conformance-scale only).",
+                    stacklevel=3)
                 self.fetch_complete_batch_hook = _row_hook_adapter(
                     fetch_complete_hook)
         self._batch_hook_ref = None

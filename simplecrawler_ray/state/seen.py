@@ -377,8 +377,9 @@ BACKENDS = {"exact": ExactBackend, "cuckoo": CuckooBackend, "bloom": BloomBacken
 def scatter_check_and_add(hashes: np.ndarray, shards: list) -> np.ndarray:
     """Scatter a hash array to the seen shards and gather the first-wins
     mask — the ONE shard-routing implementation (hash % n_shards);
-    called in-process from the turbo-round UDF and wrapped as a remote
-    task below for ``check_and_add_distributed``."""
+    called in-process from the turbo-round UDF (each fetch task dedup-
+    checks its own out-links through this, so shard RPCs from different
+    tasks already overlap without a driver funnel)."""
     n = len(shards)
     shard_of = (hashes % _U64(n)).astype(np.int64)
     out = np.zeros(len(hashes), dtype=bool)
@@ -391,16 +392,6 @@ def scatter_check_and_add(hashes: np.ndarray, shards: list) -> np.ndarray:
     for idx, m in zip(idxs, ray.get(refs)):
         out[idx] = m
     return out
-
-
-@ray.remote
-def _scatter_check_and_add(hashes: np.ndarray, shards: list) -> np.ndarray:
-    """Worker-side scatter of one hash chunk (the turbo-round dedup
-    shape).  Many of these tasks run concurrently, so the driver is
-    not the RPC funnel the driver-side ``SeenSet.check_and_add``
-    scatter is (round-3 verdict #2: the driver-mediated path measured
-    1.34 M/s against a backend capable of 1.7 M/s *per shard*)."""
-    return scatter_check_and_add(hashes, shards)
 
 
 @ray.remote

@@ -336,7 +336,8 @@ def test_pyav_demuxer_real_container_gate():
                     container.mux(pkt)
             for pkt in stream.encode():
                 container.mux(pkt)
-    except av.AVError as e:                      # codec not built in
+    except getattr(av, "FFmpegError", getattr(av, "AVError", OSError)) as e:
+        # codec not built in (AVError renamed FFmpegError in PyAV >= 14)
         pytest.skip(f"pyav present but mpeg4 encoder unavailable: {e}")
     blob = buf.getvalue()
     frames = demux(blob)
