@@ -233,3 +233,47 @@ def test_exact_memory_stays_packed():
     b.add(np.arange(1, 100_001, dtype=np.uint64))
     # 8 B/slot, load factor >= 25% after sizing for the capacity
     assert b.memory_bytes() <= (1 << 18) * 8
+
+
+def test_exact_hypothesis_model_parity():
+    """Model-based check of the open-addressing exact backend against a
+    Python-set model: arbitrary uint64 batches (dup-heavy, zeros, tiny
+    initial capacity forcing growth chains)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.lists(st.integers(min_value=0, max_value=300),
+                             max_size=120), max_size=8))
+    def run(batches):
+        b = ExactBackend(capacity=2)
+        ref: set = set()
+        for batch in batches:
+            keys = np.array(batch, dtype=np.uint64)
+            mask = b.check_and_add(keys)
+            exp = np.zeros(len(keys), bool)
+            seen_in_batch: set = set()
+            for i, k in enumerate(batch):
+                exp[i] = k not in ref and k not in seen_in_batch
+                seen_in_batch.add(k)
+            ref |= seen_in_batch
+            assert mask.tolist() == exp.tolist()
+            assert len(b) == len(ref)
+        probe = np.arange(0, 350, dtype=np.uint64)
+        want = [int(k) in ref for k in probe.tolist()]
+        assert b.contains(probe).tolist() == want
+
+    run()
+
+
+def test_exact_growth_chain_under_bulk_insert():
+    # 300k distinct keys into a capacity-1000 table: many doublings in
+    # one call path, count and membership must survive every rehash
+    rng = np.random.default_rng(5)
+    keys = rng.permutation(np.arange(1, 300_001, dtype=np.uint64))
+    b = ExactBackend(capacity=1000)
+    mask = b.check_and_add(keys)
+    assert mask.all() and len(b) == 300_000
+    assert not b.check_and_add(keys[:50_000]).any()
+    sample = rng.choice(keys, 10_000)
+    assert b.contains(sample).all()
+    assert not b.contains(np.arange(400_000, 410_000, dtype=np.uint64)).any()
