@@ -1293,9 +1293,10 @@ class CrawlEngine:
                 break
         ovf = self.seen.overflow()
         if ovf:
-            # the cuckoo filter saturated: ovf genuinely-new URLs were
-            # misreported as duplicates and dropped — surfaced as a
-            # metric so a starving crawl is diagnosable
+            # the cuckoo filter saturated past its victim stash: ovf
+            # previously-seen keys were evicted and lost (their URLs
+            # may be re-admitted if rediscovered) — surfaced as a
+            # metric so an undersized filter is diagnosable
             self._count("seenoverflow", ovf)
         self._count("complete")
         return CrawlResult(self)
@@ -1448,9 +1449,10 @@ class CrawlEngine:
             self.round_no += 1
         ovf = self.seen.overflow()
         if ovf:
-            # the cuckoo filter saturated: ovf genuinely-new URLs were
-            # misreported as duplicates and dropped — surfaced as a
-            # metric so a starving crawl is diagnosable
+            # the cuckoo filter saturated past its victim stash: ovf
+            # previously-seen keys were evicted and lost (their URLs
+            # may be re-admitted if rediscovered) — surfaced as a
+            # metric so an undersized filter is diagnosable
             self._count("seenoverflow", ovf)
         self._count("complete")
         return {"fetched": fetched_total, "rounds": self.round_no,
@@ -1560,14 +1562,21 @@ class CrawlEngine:
         eng.cfg["host"] = meta["host"]
         qt = eng._load_queued_ckpt(last)
         seen_dir = os.path.join(last, "seen")
+        restored = False
         if os.path.isdir(seen_dir) \
                 and meta.get("seen_shards") == eng.cfg["seen_shards"] \
                 and meta.get("seen_backend", eng.cfg["seen_backend"]) \
                 == eng.cfg["seen_backend"]:
             # snapshot fast path: reload each shard's filter file —
             # O(filter bytes), not O(crawled URLs)
-            eng.seen.restore(seen_dir)
-        else:
+            try:
+                eng.seen.restore(seen_dir)
+                restored = True
+            except ValueError:
+                # e.g. a snapshot from an older fingerprint format —
+                # fall back to the url_hash replay below
+                restored = False
+        if not restored:
             hashes = [qt.column("url_hash").to_numpy(zero_copy_only=False)]
             for part in glob.glob(os.path.join(sink_dir, "round=*", "*.parquet")):
                 hashes.append(
@@ -1637,6 +1646,13 @@ class CrawlEngine:
                          and meta.get("seen_backend",
                                       eng.cfg["seen_backend"])
                          == eng.cfg["seen_backend"])
+        if have_snapshot:
+            try:
+                eng.seen.restore(seen_dir)
+            except ValueError:
+                # e.g. a snapshot from an older fingerprint format —
+                # fall back to the url_hash replay
+                have_snapshot = False
         hashes = [qt.column("url_hash").to_numpy(zero_copy_only=False)]
         for rdir in rounds:
             parts = sorted(
@@ -1647,9 +1663,7 @@ class CrawlEngine:
                     hashes.append(
                         t.column("url_hash").to_numpy(zero_copy_only=False))
                 eng.terminal_refs.append(ray.put(pq.read_table(part)))
-        if have_snapshot:
-            eng.seen.restore(seen_dir)
-        else:
+        if not have_snapshot:
             eng.seen.add(np.concatenate(hashes).astype(np.uint64))
         return eng
 

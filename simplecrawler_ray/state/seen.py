@@ -14,7 +14,9 @@ Backends per shard:
 * ``cuckoo`` — numpy cuckoo filter, 16-bit fingerprints, 4-slot
   buckets: ~2.3 B/key at 95% load.  At 10^10 URLs: ~23 GB cluster-wide
   across shards (vs ~160 GB for exact) — the north-rule scale backend.
-  No false negatives; false-positive rate ~=  2^-13 (a tiny fraction of
+  No false negatives while ``overflow`` is 0 (kick-chain victims are
+  retained in a bounded stash; only stash exhaustion loses a key, and
+  it is counted); false-positive rate ~= 2^-13 (a tiny fraction of
   genuinely-new URLs silently dropped as "seen" — acceptable for crawl
   frontiers, documented divergence from the reference's exact set).
 * ``bloom``  — numpy bit-array Bloom filter, k hashes (fallback; same
@@ -192,9 +194,19 @@ class ExactBackend:
 
 
 class CuckooBackend:
-    """Cuckoo filter: 4-way buckets of uint16 fingerprints (0 = empty)."""
+    """Cuckoo filter: 4-way buckets of uint16 fingerprints (0 = empty).
+
+    A small victim STASH preserves the no-false-negative guarantee at
+    saturation: when a kick chain exhausts ``MAX_KICKS`` the final
+    evicted fingerprint (an already-inserted key!) lands in the stash
+    instead of being dropped — dropping it would silently "unsee" a
+    crawled URL and re-admit it to the frontier.  Only when the stash
+    itself is full is a key genuinely lost, and ``overflow`` counts
+    exactly those losses."""
 
     MAX_KICKS = 500
+    _FP_FORMAT = 2   # v2: full 16-bit fingerprints (v1 forced fps odd,
+    #                  halving the fp space and doubling the FP rate)
 
     def __init__(self, capacity: int = 1_000_000):
         nbuckets = 1
@@ -206,21 +218,48 @@ class CuckooBackend:
         self.count = 0
         self.overflow = 0
         self.rng = np.random.default_rng(1234)
+        # victim stash: fp -> set of home buckets; bounded
+        self.stash: dict = {}
+        self.stash_n = 0
+        self.stash_max = max(4, nbuckets >> 6)
 
     def _fp_and_buckets(self, hashes: np.ndarray):
         h = hashes.astype(_U64)
-        fp = ((_mix(h, 0xF00D) & _U64(0xFFFF)) | _U64(1)).astype(np.uint16)  # never 0
+        f16 = (_mix(h, 0xF00D) & _U64(0xFFFF)).astype(np.uint16)
+        fp = np.where(f16 == 0, np.uint16(1), f16)      # never 0, full range
         b1 = (_mix(h, 0xB1) & self.mask).astype(np.int64)
         b2 = (b1 ^ (_mix(fp.astype(_U64), 0xA17) & self.mask).astype(np.int64))
         return fp, b1, b2
+
+    def _stash_contains(self, fp: np.ndarray, b1: np.ndarray,
+                        b2: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(fp), dtype=bool)
+        if not self.stash:
+            return out
+        sfps = np.fromiter(self.stash.keys(), dtype=np.uint16,
+                           count=len(self.stash))
+        for i in np.flatnonzero(np.isin(fp, sfps)):
+            buckets = self.stash.get(int(fp[i]))
+            if buckets and (int(b1[i]) in buckets or int(b2[i]) in buckets):
+                out[i] = True
+        return out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         fp, b1, b2 = self._fp_and_buckets(hashes)
         t = self.table
         f = fp[:, None]
-        return ((t[b1] == f).any(axis=1)) | ((t[b2] == f).any(axis=1))
+        hit = ((t[b1] == f).any(axis=1)) | ((t[b2] == f).any(axis=1))
+        if self.stash:
+            hit |= self._stash_contains(fp, b1, b2)
+        return hit
 
     def _insert_one(self, fp: int, b1: int, b2: int) -> bool:
+        """Place FP; returns True unless a key was genuinely lost.
+
+        On kick exhaustion the NEW fingerprint is already in the table
+        (the first swap placed it); the casualty is the final evicted
+        VICTIM, which goes to the stash — or, if the stash is full, is
+        dropped and counted in ``overflow``."""
         t = self.table
         for b in (b1, b2):
             empty = np.nonzero(t[b] == 0)[0]
@@ -240,7 +279,15 @@ class CuckooBackend:
                 t[alt, empty[0]] = cur
                 return True
             b = alt
-        return False  # table full
+        # chain exhausted: `cur` was evicted from the swap at the
+        # PREVIOUS bucket, so the current `b` (its alternate) is one of
+        # its two homes — stash (cur, b) to keep it findable
+        if self.stash_n < self.stash_max:
+            self.stash.setdefault(int(cur), set()).add(int(b))
+            self.stash_n += 1
+            return True
+        self.overflow += 1      # victim lost: a previously-seen key
+        return False            # is now unseen (filter undersized)
 
     def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """Batch check-and-insert, first occurrence wins.
@@ -279,31 +326,53 @@ class CuckooBackend:
             self.count += int(len(win))
             pending = pending[~placed]
         for i in pending:  # both buckets full: scalar kick loop
-            if self._insert_one(int(fp[i]), int(b1[i]), int(b2[i])):
-                self.count += 1
-                out[i] = True
-            else:
-                # table saturated: the hash could NOT be recorded, so the
-                # URL is reported as a duplicate and dropped.  Count it —
-                # a silently saturating filter starves the frontier with
-                # no signal otherwise (size the filter via
-                # seen_capacity_per_shard; load factor ~0.95 max)
-                self.overflow += 1
+            # the new fingerprint is ALWAYS recorded (first swap places
+            # it); _insert_one returns False only when the stash was
+            # full and the kick chain's final VICTIM had to be dropped
+            # — that loss is counted in overflow by _insert_one, and a
+            # saturating filter is therefore never silent (size via
+            # seen_capacity_per_shard; load factor ~0.95 max)
+            self._insert_one(int(fp[i]), int(b1[i]), int(b2[i]))
+            self.count += 1
+            out[i] = True
         return out
 
     def add(self, hashes: np.ndarray) -> None:
         self.check_and_add(hashes)
 
     def state(self) -> dict:
+        sfp, sb = [], []
+        for f, buckets in self.stash.items():
+            for b in buckets:
+                sfp.append(f)
+                sb.append(b)
         return {"kind": "cuckoo", "table": self.table, "count": self.count,
-                "overflow": self.overflow}
+                "overflow": self.overflow, "fpv": self._FP_FORMAT,
+                "stash_fp": np.array(sfp, dtype=np.uint16),
+                "stash_b": np.array(sb, dtype=np.int64)}
 
     def load_state(self, st: dict) -> None:
+        if int(st.get("fpv", 1)) != self._FP_FORMAT:
+            # v1 snapshots hold odd-forced fingerprints; v2 lookups
+            # would miss half the keys — refuse loudly so the resume
+            # path falls back to the url_hash replay
+            raise ValueError(
+                "cuckoo snapshot uses fingerprint format "
+                f"v{st.get('fpv', 1)}, this build writes "
+                f"v{self._FP_FORMAT}; rebuild the filter or resume via "
+                "hash replay")
         self.table = st["table"]
         self.nbuckets = self.table.shape[0]
         self.mask = _U64(self.nbuckets - 1)
         self.count = int(st["count"])
         self.overflow = int(st.get("overflow", 0))
+        self.stash = {}
+        self.stash_n = 0
+        self.stash_max = max(4, self.nbuckets >> 6)
+        for f, b in zip(np.asarray(st.get("stash_fp", [])).tolist(),
+                        np.asarray(st.get("stash_b", [])).tolist()):
+            self.stash.setdefault(int(f), set()).add(int(b))
+            self.stash_n += 1
 
     def __len__(self):
         return self.count
@@ -381,6 +450,7 @@ def scatter_check_and_add(hashes: np.ndarray, shards: list) -> np.ndarray:
     checks its own out-links through this, so shard RPCs from different
     tasks already overlap without a driver funnel)."""
     n = len(shards)
+    hashes = np.asarray(hashes, dtype=_U64)
     shard_of = (hashes % _U64(n)).astype(np.int64)
     out = np.zeros(len(hashes), dtype=bool)
     refs, idxs = [], []
@@ -444,10 +514,10 @@ class SeenShard:
         return len(self.backend)
 
     def overflow(self) -> int:
-        """Insertions REJECTED because the filter saturated (cuckoo
-        kick-out exhaustion): each one is a genuinely-new URL that was
-        reported as a duplicate.  Nonzero means the filter is
-        undersized — raise seen_capacity_per_shard."""
+        """Keys LOST to filter saturation (cuckoo kick-chain exhausted
+        with a full victim stash): each one is a previously-seen key
+        whose URL may be re-admitted if rediscovered.  Nonzero means
+        the filter is undersized — raise seen_capacity_per_shard."""
         return int(getattr(self.backend, "overflow", 0))
 
     def memory_bytes(self) -> int:
@@ -512,17 +582,9 @@ class SeenSet:
         hashes = np.asarray(hashes, dtype=np.uint64)
         if len(hashes) == 0:
             return np.zeros(0, dtype=bool)
-        shard_of, order = self._scatter(hashes)
-        out = np.zeros(len(hashes), dtype=bool)
-        refs, idxs = [], []
-        for s in range(self.num_shards):
-            idx = order[shard_of[order] == s]
-            if len(idx):
-                refs.append(self.shards[s].check_and_add.remote(hashes[idx]))
-                idxs.append(idx)
-        for idx, mask in zip(idxs, ray.get(refs)):
-            out[idx] = mask
-        return out
+        # the ONE shard-routing implementation (shared with the
+        # worker-side turbo path) — no per-pool reimplementation
+        return scatter_check_and_add(hashes, self.shards)
 
     #: chunk size for the distributed check path; ~2 MiB of hashes per
     #: task keeps task-launch overhead < 1% while giving the scheduler
@@ -592,11 +654,12 @@ class SeenSet:
         if len(hashes) == 0:
             return
         shard_of, _ = self._scatter(hashes)
-        ray.get([
-            self.shards[s].add.remote(hashes[shard_of == s])
-            for s in range(self.num_shards)
-            if (shard_of == s).any()
-        ])
+        refs = []
+        for s in range(self.num_shards):
+            sel = hashes[shard_of == s]
+            if len(sel):
+                refs.append(self.shards[s].add.remote(sel))
+        ray.get(refs)
 
     def snapshot(self, dir_path: str) -> int:
         """Checkpoint every shard's filter to ``dir_path/shard-<i>.npz``
@@ -622,24 +685,39 @@ class SeenSet:
         """Reload a ``snapshot`` directory (shard count must match)."""
         import os
 
-        files = sorted(f for f in os.listdir(dir_path)
-                       if f.startswith("shard-") and f.endswith(".npz"))
+        # order by the PARSED shard index, not lexicographically: past
+        # 9,999 shards the zero-padded names interleave under a string
+        # sort ("shard-10000" < "shard-1001") and every filter would
+        # silently restore into the wrong shard
+        files = sorted((f for f in os.listdir(dir_path)
+                        if f.startswith("shard-") and f.endswith(".npz")),
+                       key=lambda f: int(f[len("shard-"):-len(".npz")]))
         if len(files) != self.num_shards:
             raise ValueError(
                 f"snapshot has {len(files)} shards, pool has "
                 f"{self.num_shards} — shard count must match (hash "
                 "routing is shard-count-dependent)")
-        return sum(ray.get([
-            s.restore.remote(os.path.join(dir_path, f))
-            for s, f in zip(self.shards, files)
-        ]))
+        refs = [s.restore.remote(os.path.join(dir_path, f))
+                for s, f in zip(self.shards, files)]
+        try:
+            return sum(ray.get(refs))
+        except Exception:
+            # drain the sibling shards' failures too so they do not
+            # surface later as unhandled actor-task errors
+            for r in refs:
+                try:
+                    ray.get(r)
+                except Exception:
+                    pass
+            raise
 
     def size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
 
     def overflow(self) -> int:
-        """Total rejected (filter-saturated) insertions across shards —
-        each is a new URL misreported as a duplicate; nonzero means
+        """Total keys LOST to filter saturation across shards (kick
+        chain exhausted AND victim stash full — the evicted key is
+        dropped and its URL may be re-crawled); nonzero means
         seen_capacity_per_shard is undersized."""
         return sum(ray.get([s.overflow.remote() for s in self.shards]))
 

@@ -160,21 +160,62 @@ def test_restore_backend_kind_mismatch_refused(tmp_path):
 
 
 def test_cuckoo_overflow_counted_not_silent():
-    from simplecrawler_ray.state.seen import CuckooBackend
-
     b = CuckooBackend(capacity=16)
     rng = np.random.default_rng(0)
     hashes = rng.integers(1, 1 << 63, 400, dtype=np.uint64)
     out = b.check_and_add(hashes)
-    # saturation must be observable, and every non-inserted new hash
-    # must be accounted as overflow (none silently vanish)
+    # saturation must be observable: overflow counts the keys LOST
+    # when the kick chain exhausts past the victim stash
     assert b.overflow > 0
     distinct = len(np.unique(hashes))
-    assert int(out.sum()) + b.overflow == distinct
+    # every distinct hash is admitted-new or FP-suppressed, never
+    # silently vanished; losses are among the admitted keys
+    assert 0 < int(out.sum()) <= distinct
+    assert b.overflow <= int(out.sum())
     st = b.state()
     b2 = CuckooBackend(capacity=64)
     b2.load_state(st)
     assert b2.overflow == b.overflow
+    # stash survives the snapshot round-trip: membership parity
+    probe = rng.integers(1, 1 << 63, 1000, dtype=np.uint64)
+    assert (b2.contains(probe) == b.contains(probe)).all()
+
+
+def test_cuckoo_no_false_negatives_until_overflow():
+    """A kick-chain victim must stay findable (stash): pre-fix, kick
+    exhaustion silently dropped a previously-inserted key — an
+    already-crawled URL would be re-admitted and re-crawled."""
+    rng = np.random.default_rng(3)
+    b = CuckooBackend(capacity=16)      # 8 buckets x 4 slots + 4 stash
+    inserted = []
+    for k in rng.integers(1, 1 << 63, 500, dtype=np.uint64):
+        before = b.overflow
+        b.check_and_add(np.array([k], dtype=np.uint64))
+        if b.overflow > before:
+            break                        # first genuine (counted) loss
+        inserted.append(k)
+        assert b.contains(np.array(inserted, dtype=np.uint64)).all()
+    assert b.overflow > 0                # the loop did reach saturation
+    assert len(inserted) >= 30           # and held ~full table + stash
+
+
+def test_cuckoo_rejects_v1_fingerprint_snapshot():
+    b = CuckooBackend(capacity=64)
+    b.add(np.arange(1, 20, dtype=np.uint64))
+    st = b.state()
+    st.pop("fpv")                        # simulate a pre-v2 snapshot
+    with pytest.raises(ValueError, match="fingerprint format"):
+        CuckooBackend(capacity=64).load_state(st)
+
+
+def test_cuckoo_fingerprints_use_full_16_bits():
+    b = CuckooBackend(capacity=1 << 16)
+    rng = np.random.default_rng(9)
+    fp, _, _ = b._fp_and_buckets(rng.integers(1, 1 << 63, 100_000,
+                                              dtype=np.uint64))
+    # v1 forced every fp odd (halving the space, doubling the FP rate)
+    assert (fp % 2 == 0).any() and (fp % 2 == 1).any()
+    assert not (fp == 0).any()
 
 
 def test_exact_open_addressing_matches_reference_set():
