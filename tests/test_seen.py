@@ -318,3 +318,17 @@ def test_exact_growth_chain_under_bulk_insert():
     sample = rng.choice(keys, 10_000)
     assert b.contains(sample).all()
     assert not b.contains(np.arange(400_000, 410_000, dtype=np.uint64)).any()
+
+
+def test_check_and_add_distributed_single_shard():
+    # num_shards=1 exercises the num_returns special case in the
+    # partition wave (Ray returns the lone piece unwrapped)
+    rng = np.random.default_rng(21)
+    hashes = rng.integers(0, 4_000, 6_000).astype(np.uint64)
+    a = SeenSet(num_shards=1, backend="exact")
+    b = SeenSet(num_shards=1, backend="exact")
+    assert (a.check_and_add_distributed(hashes, chunk=1000)
+            == b.check_and_add(hashes)).all()
+    assert a.size() == b.size()
+    a.shutdown()
+    b.shutdown()
