@@ -43,7 +43,9 @@ def test_cuckoo_false_positive_rate():
     b.add(ins)
     probe = rng.integers(1, 2**63, 50_000).astype(np.uint64) | np.uint64(1 << 63)
     fp = b.contains(probe).mean()
-    assert fp < 0.01  # 16-bit fingerprints: ~2^-13 expected
+    # full 16-bit fingerprints (v2): ~2^-13 expected; measured 5e-05 at
+    # this load.  The v1 odd-forced fps would fail this bound's margin.
+    assert fp < 1e-3
 
 
 def test_seen_set_actor_pool():
