@@ -4,9 +4,9 @@
   once), per-batch numpy matmul, per-batch local top-k, tiny driver
   merge.  Exact; scales linearly — the right baseline for oracle
   checks.
-* ``IvfIndex`` / ``knn_ivf`` — scale path: k-means coarse quantizer
-  (trained on a sample), vectors partitioned by nearest centroid
-  (one groupby), queries probe only ``nprobe`` partitions.
+* ``IvfIndex`` (``fit`` / ``search``) — scale path: k-means coarse
+  quantizer (trained on a sample), vectors partitioned by nearest
+  centroid (one groupby), queries probe only ``nprobe`` partitions.
 """
 
 from __future__ import annotations
@@ -32,6 +32,9 @@ def knn_bruteforce(ds: rd.Dataset, query: np.ndarray, k: int = 10,
     q_ref = ray.put(q)
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty Ray block: np.stack([]) raises
+            return pa.table({id_col: batch.column(id_col),
+                             "cos": pa.array([], pa.float64())})
         qv = ray.get(q_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         m = _normalize(np.stack(batch.column(emb_col).to_pylist()).astype(np.float64))
@@ -66,6 +69,10 @@ def knn_bruteforce_multi(ds: rd.Dataset, queries: np.ndarray, k: int = 10,
     q_ref = ray.put(q)
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty Ray block: np.stack([]) raises
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: batch.column(id_col),
+                             "cos": pa.array([], pa.float64())})
         qm = ray.get(q_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         mat = _normalize(np.stack(batch.column(emb_col).to_pylist()).astype(np.float64))
@@ -153,7 +160,13 @@ class IvfIndex:
 
     def fit(self, ds: rd.Dataset, emb_col: str = "embedding",
             id_col: str = "vec_id", sample_n: int = 10_000) -> "IvfIndex":
-        sample = ds.limit(sample_n).take_all()
+        # randomize BLOCK order before taking the training sample: a
+        # plain limit() reads the corpus prefix, and crawl output is
+        # written in crawl/domain order, so prefix-trained centroids
+        # would model a few topics and funnel everything else into a
+        # handful of giant lists (poor recall at fixed nprobe)
+        sample = ds.randomize_block_order(seed=self.seed) \
+                   .limit(sample_n).take_all()
         x = _normalize(np.stack([r[emb_col] for r in sample]).astype(self.dtype))
         rng = np.random.default_rng(self.seed)
         c = x[rng.choice(len(x), min(self.n_lists, len(x)), replace=False)]

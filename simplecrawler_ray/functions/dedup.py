@@ -7,9 +7,11 @@ Exact + the near-dup family a 100 TB training-data pipeline needs:
 * ``minhash_lsh_pairs``— shingle -> minhash -> banded LSH buckets ->
   candidate pairs -> Jaccard verify.  The only groupby is on (band,
   band_hash) — the classic web-dedup shape.
-* ``simhash_batch``    — 64-bit simhash column; near-dups = small
-  hamming distance (bucketed by rotated prefixes at scale).
-* ``ngram_jaccard``    — exact pairwise verify for candidate pairs.
+* ``SimHasher`` / ``simhash_near_dup_pairs`` — 64-bit simhash column;
+  near-dups = small hamming distance (bucketed by rotated prefixes at
+  scale, paired via ``hash_near_dup_pairs``).
+* ``ngram_jaccard`` / ``ngram_jaccard_sets`` — exact pairwise verify
+  for candidate pairs.
 * ``embedding_dup_pairs`` — cosine near-dup over an embedding column
   via LSH bucketing (random hyperplanes) then in-bucket matmul.
 """
@@ -21,6 +23,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -121,6 +124,9 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
+        if not texts:   # Ray can emit empty blocks — np.stack([]) raises
+            return batch.append_column(
+                "minhash", pa.array([], pa.list_(pa.uint64())))
         sigs = np.stack([self.signature(t) for t in texts])
         return batch.append_column(
             "minhash", pa.array(list(sigs.astype(np.uint64)), pa.list_(pa.uint64()))
@@ -155,6 +161,10 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
         sig_tables = gather_tables(ds.map_batches(
             minhasher_udf, fn_kwargs=dict(num_perm=num_perm, seed=seed),
             batch_format="pyarrow", batch_size=512, zero_copy_batch=True))
+        if not sig_tables:      # empty corpus (gather drops 0-row blocks)
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
         t = pa.concat_tables(sig_tables, promote_options="default")
         ids = t.column(id_col).to_pylist()
         texts = t.column("text").to_pylist()
@@ -260,9 +270,22 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
 
     shingle_k = 3
 
+    # only docs that appear in a candidate pair need shingling: the id
+    # set is driver-side already (<= 2x pair count), so broadcast it and
+    # filter each batch BEFORE tokenizing — without this the verify
+    # stage re-shingled and materialized the ENTIRE corpus (a second
+    # full tokenize pass, ~corpus-text-sized blobs pinned in the object
+    # store) only for the hash join to discard all non-candidate rows
+    cand_ids_ref = ray.put(np.unique(np.concatenate(
+        [cand["id_a"].to_numpy(), cand["id_b"].to_numpy()]).astype(np.int64)))
+
     def shingle_rows(batch: pa.Table) -> pa.Table:
         # shingle sets ride the join as int64 binary blobs (the native
         # hash join rejects list<> non-key fields)
+        wanted = ray.get(cand_ids_ref)
+        ids_arr = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        batch = batch.filter(pa.array(np.isin(ids_arr, wanted)))
         ids = batch.column(id_col).to_pylist()
         texts = batch.column("text").to_pylist()
         sets = [np.fromiter(_shingles(t or "", shingle_k), dtype=np.int64).tobytes()
@@ -314,10 +337,18 @@ def minhash_lsh_pairs(ds: rd.Dataset, num_perm: int = 64, bands: int = 16,
 # ---------------------------------------------------------------- simhash
 
 class SimHasher:
-    """Stateful stage: a worker-lifetime token->hash cache (natural-text
-    vocabularies are tiny vs token counts, so the blake2b cost is paid
-    ~once per distinct token per worker, not per occurrence) and fully
-    vectorized bit-vote accumulation."""
+    """Stateful stage: a bounded worker-lifetime token->hash cache (the
+    hot natural-language vocabulary is tiny vs token counts, so the
+    blake2b cost is paid ~once per distinct hot token per worker) and
+    fully vectorized bit-vote accumulation.
+
+    The cache is CAPPED: web text carries an unbounded stream of
+    unique tokens (hex ids, session tokens, base64 fragments), so an
+    uncapped dict grows without limit on a long-lived worker.  Past
+    the cap, new tokens hash without caching — hot tokens stay cached,
+    cold ones just pay the blake2b each time."""
+
+    CACHE_MAX = 1 << 20     # ~1M entries, tens of MB worst case
 
     def __init__(self, seed: int = 42):
         self.seed = seed
@@ -331,7 +362,8 @@ class SimHasher:
             h = struct.unpack(
                 "<Q", hashlib.blake2b(token.encode(), digest_size=8,
                                       salt=b"simhash_").digest())[0]
-            self._token_cache[token] = h
+            if len(self._token_cache) < self.CACHE_MAX:
+                self._token_cache[token] = h
         return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -394,6 +426,12 @@ def hash_near_dup_pairs(ds: rd.Dataset, hash_col: str, max_hamming: int = 3,
     chunk_bits = 64 // n_chunks
 
     def to_chunks(batch: pa.Table) -> pa.Table:
+        # drop null hashes FIRST: crawl output leaves hash_col null for
+        # rows that never decoded (fetch errors, non-image bodies); a
+        # null round-trips as NaN whose uint64 cast is platform-defined
+        # garbage, identical per row — every null row would collapse
+        # onto one bogus hash and pair quadratically
+        batch = batch.filter(pc.is_valid(batch.column(hash_col)))
         sh = batch.column(hash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         # ids keep their native dtype (int doc ids or string image ids)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
@@ -503,6 +541,10 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
     if n_rows <= exact_threshold:
         mat_tables = [t.select([id_col, emb_col])
                       for t in _gather(ds, [id_col, emb_col])]
+        if not mat_tables:  # empty corpus (gather drops 0-row blocks)
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
         allt = pa.concat_tables(mat_tables, promote_options="default")
         ids_all = allt.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         # float64: the exact path doubles as the oracle-checked one and
@@ -516,6 +558,10 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
         mn_ref = ray.put((ids_all, mn))
 
         def block_pairs(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:   # empty Ray block: np.stack([]) raises
+                return pa.table({"id_a": pa.array([], pa.int64()),
+                                 "id_b": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
             aids, amat = ray.get(mn_ref)
             bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
             bm = np.stack(batch.column(emb_col).to_pylist()).astype(np.float64)
@@ -551,6 +597,10 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
     powers = 1 << np.arange(n_planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:       # empty Ray block: np.stack([]) raises
+            return pa.table({id_col: batch.column(id_col),
+                             emb_col: batch.column(emb_col),
+                             "bucket": pa.array([], pa.int64())})
         pl = ray.get(planes_ref)  # (n_tables, dim, n_planes)
         embs = np.stack(batch.column(emb_col).to_pylist()).astype(np.float32)
         parts = []
@@ -566,7 +616,14 @@ def embedding_dup_pairs(ds: rd.Dataset, threshold: float = 0.95,
 
     def in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+            # dtype-pinned empty: pandas-2 concat no longer ignores
+            # empty frames when inferring result dtype, and singleton
+            # buckets are the COMMON case — an object-dtype empty here
+            # destabilizes the whole output schema
+            id_dtype = group[id_col].dtype
+            return pd.DataFrame({"id_a": pd.Series([], dtype=id_dtype),
+                                 "id_b": pd.Series([], dtype=id_dtype),
+                                 "cos": pd.Series([], dtype="float64")})
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
         m = np.stack([np.asarray(e, dtype=np.float32) for e in g[emb_col]])

@@ -1010,3 +1010,35 @@ def test_minhash_skips_shingleless_docs(ray_session):
     pairs = minhash_lsh_pairs(docs, verify=True).to_pandas()
     # empty-shingle docs pair with nothing; the real dup pair survives
     assert pairs[["id_a", "id_b"]].values.tolist() == [[100, 101]]
+
+
+def test_dedup_operators_handle_empty_and_null_inputs():
+    """Empty corpora and null hash columns must not crash or fabricate
+    pairs: gather_tables drops zero-row blocks (so concat of [] was
+    reachable), and crawl output leaves phash null for undecoded rows
+    (NaN->uint64 is platform garbage, identical per row — null rows
+    would otherwise all pair with each other)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from simplecrawler_ray.functions.dedup import (
+        embedding_dup_pairs,
+        hash_near_dup_pairs,
+        minhash_lsh_pairs,
+    )
+
+    empty_docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert minhash_lsh_pairs(empty_docs).num_rows == 0
+
+    empty_vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    assert embedding_dup_pairs(empty_vecs).num_rows == 0
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "h": pa.array([None, None, None, 7], pa.int64())})
+    pairs = hash_near_dup_pairs(rd.from_arrow(t), hash_col="h",
+                                id_col="doc_id", n_buckets=4)
+    assert pairs.num_rows == 0
